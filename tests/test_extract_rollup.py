@@ -1,0 +1,138 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from logtrics_spark.datagen import gen_tokseq, gen_tokseq_pandas
+from logtrics_spark.operators.extract import extract_points, extract_points_arrow
+from logtrics_spark.operators.rollup import (
+    TIERS,
+    cascade,
+    rollup,
+    rollup_all_tiers,
+    timer_percentiles,
+    with_cumulative,
+)
+
+from tests.oracle import (
+    cumulative_oracle,
+    percentiles_oracle,
+    points_oracle,
+    rollup_oracle,
+)
+
+N = 3_000
+KEYCOLS = ["source", "metric", "kind", "window_start"]
+
+
+def _norm(df: pd.DataFrame, keys=KEYCOLS) -> pd.DataFrame:
+    df = df.sort_values(keys, kind="stable").reset_index(drop=True)
+    return df[sorted(df.columns)]
+
+
+def _assert_frame_equal(a: pd.DataFrame, b: pd.DataFrame):
+    a, b = _norm(a), _norm(b)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            assert np.allclose(a[c], b[c], rtol=1e-12, atol=1e-12), c
+        else:
+            assert (a[c] == b[c]).all(), c
+
+
+@pytest.fixture(scope="module")
+def tok_pdf():
+    return gen_tokseq_pandas(N)
+
+
+@pytest.fixture(scope="module")
+def tok_df(spark):
+    return gen_tokseq(spark, N, partitions=5).cache()
+
+
+@pytest.mark.parametrize("per_source", [False, True])
+def test_extract_matches_oracle(spark, tok_df, tok_pdf, per_source):
+    got = extract_points(tok_df, per_source=per_source).toPandas()
+    exp = points_oracle(tok_pdf, per_source=per_source)
+    key = ["source", "metric", "ts"]
+    got = got.sort_values(key, kind="stable").reset_index(drop=True)
+    exp = exp.sort_values(key, kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp) == 4 * N
+    for c in ["source", "metric", "kind", "ts", "value"]:
+        assert (got[c] == exp[c]).all(), c
+
+
+def test_arrow_path_equals_native(spark, tok_df):
+    a = extract_points(tok_df).toPandas()
+    b = extract_points_arrow(tok_df).toPandas()
+    key = ["source", "metric", "ts"]
+    a = a.sort_values(key, kind="stable").reset_index(drop=True)
+    b = b.sort_values(key, kind="stable").reset_index(drop=True)
+    assert a.equals(b[a.columns])
+
+
+def test_tokens_pruned_from_extract_plan(spark, tok_df, tmp_path):
+    """Column pruning: the extraction scan must not read `tokens`.
+
+    The huge payload column must be pruned out of the parquet ReadSchema
+    — at 100 TB this is the difference between scanning ~100 TB and
+    scanning the few GB of (doc_id, n_tok, source).
+    """
+    path = str(tmp_path / "tok")
+    tok_df.write.parquet(path)
+    plan = (
+        extract_points(spark.read.parquet(path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    read_schema = scan[0].split("ReadSchema:")[1]
+    assert "tokens" not in read_schema, read_schema
+    assert "n_tok" in read_schema
+
+
+@pytest.mark.parametrize("tier", ["1m", "5m", "1h"])
+def test_rollup_matches_oracle(spark, tok_df, tok_pdf, tier):
+    got = rollup(extract_points(tok_df), tier).toPandas()
+    exp = rollup_oracle(points_oracle(tok_pdf), TIERS[tier])
+    _assert_frame_equal(got, exp)
+
+
+def test_cascade_equals_direct(spark, tok_df):
+    """Associativity: raw->1h directly == raw->1m->5m->1h (SURVEY.md §5.3)."""
+    pts = extract_points(tok_df)
+    tiers = rollup_all_tiers(pts)
+    direct_1h = rollup(pts, "1h").toPandas()
+    cascaded_1h = tiers["1h"].toPandas()
+    _assert_frame_equal(direct_1h, cascaded_1h)
+    direct_1d = rollup(pts, "1d").toPandas()
+    _assert_frame_equal(direct_1d, tiers["1d"].toPandas())
+
+
+def test_timer_percentiles_exact(spark, tok_df, tok_pdf):
+    got = timer_percentiles(extract_points(tok_df), "1h", exact=True).toPandas()
+    exp = percentiles_oracle(points_oracle(tok_pdf), TIERS["1h"])
+    _assert_frame_equal(got, exp)
+
+
+def test_cumulative_counter_view(spark, tok_df, tok_pdf):
+    got = with_cumulative(rollup(extract_points(tok_df), "5m")).toPandas()
+    exp = cumulative_oracle(rollup_oracle(points_oracle(tok_pdf), TIERS["5m"]))
+    _assert_frame_equal(got, exp)
+
+
+def test_token_passthrough_invariant(spark, tok_df, tok_pdf):
+    """BASELINE.json:15 — per-row token-array equality through the pipeline.
+
+    The raw table that coexists with the extraction output must carry
+    bit-identical token arrays per doc_id.
+    """
+    back = tok_df.select("doc_id", "tokens").toPandas().set_index("doc_id")["tokens"]
+    exp = tok_pdf.set_index("doc_id")["tokens"]
+    assert len(back) == len(exp)
+    for did in exp.index:
+        assert np.array_equal(np.asarray(back[did]), np.asarray(exp[did])), did
