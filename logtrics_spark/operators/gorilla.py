@@ -1,0 +1,345 @@
+"""N7 — Gorilla compression: delta-of-delta timestamps + XOR values.
+
+Implements the chunk codec from the public Gorilla paper (Pelkonen et
+al., "Gorilla: A Fast, Scalable, In-Memory Time Series Database",
+VLDB 2015):
+
+- timestamps: delta-of-delta with prefix-coded buckets
+    dod == 0                -> '0'
+    dod in [-63, 64]        -> '10'   + 7 bits
+    dod in [-255, 256]      -> '110'  + 9 bits
+    dod in [-2047, 2048]    -> '1110' + 12 bits
+    else                    -> '1111' + 64 bits (full int64, so irregular
+                                        series always round-trip)
+  The first delta is encoded with the same scheme against an implicit
+  previous delta of 0.
+- values: XOR against the previous value
+    xor == 0 -> '0'
+    else '1' then:
+      '0'  -> meaningful bits fit the previous (leading, length) window;
+              emit length bits
+      '1'  -> 5 bits leading-zero count (capped 31) + 6 bits
+              (meaningful-length - 1) + that many bits
+  Bit-identity is guaranteed for every float64 including NaN payloads,
+  ±0.0 and denormals because everything runs on uint64 views — Python
+  floats never touch the values (SURVEY.md §7.6 hard part #1).
+
+Chunk layout (one chunk per (series, chunk_window), k value columns
+sharing one timestamp stream):
+    u32 n_points | u16 n_cols | i64 ts[0] | u64 col0[0] .. u64 colk[0]
+    | ts bitstream | col0 bitstream | .. | colk bitstream
+  (each bitstream byte-aligned, prefixed by u32 byte length)
+
+The Spark face is ``compress_tier`` (groupBy chunk key ->
+applyInPandas) and ``decompress_chunks`` (mapInPandas explode).  Chunks
+are built from TIER rows (already 3-6 orders of magnitude smaller than
+raw), so the Python codec cost is bounded by tier cardinality, not raw
+row count; the groupBy key includes the chunk window, so hot sources
+split across chunks and no single task sees more than one chunk span.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logtrics_spark.operators.rollup import KEY, tier_seconds, window_start
+
+# ---------------------------------------------------------------- bit io
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        remaining = nbits
+        while remaining > 0:
+            byte_i, bit_i = divmod(self.pos, 8)
+            avail = 8 - bit_i
+            take = min(avail, remaining)
+            chunk = (self.buf[byte_i] >> (avail - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            remaining -= take
+            self.pos += take
+        return out
+
+
+# ------------------------------------------------------------ ts codec
+
+_DOD_BUCKETS = [(64, "10", 7), (256, "110", 9), (2048, "1110", 12)]
+
+
+def _encode_ts(w: _BitWriter, ts: np.ndarray) -> None:
+    prev_delta = 0
+    prev = int(ts[0])
+    for i in range(1, len(ts)):
+        cur = int(ts[i])
+        delta = cur - prev
+        dod = delta - prev_delta
+        if dod == 0:
+            w.write(0, 1)
+        else:
+            for hi, prefix, bits in _DOD_BUCKETS:
+                if -hi < dod <= hi:
+                    w.write(int(prefix, 2), len(prefix))
+                    w.write(dod + hi - 1, bits)
+                    break
+            else:
+                w.write(0b1111, 4)
+                w.write(dod & ((1 << 64) - 1), 64)
+        prev, prev_delta = cur, delta
+
+
+def _decode_ts(r: _BitReader, n: int, first: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    prev, prev_delta = first, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            matched = False
+            for hi, prefix, bits in _DOD_BUCKETS:
+                if r.read(1) == 0:
+                    dod = r.read(bits) - hi + 1
+                    matched = True
+                    break
+            if not matched:
+                raw = r.read(64)
+                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        prev_delta += dod
+        prev += prev_delta
+        out[i] = prev
+    return out
+
+
+# --------------------------------------------------------- value codec
+
+
+def _encode_vals(w: _BitWriter, bits: np.ndarray) -> None:
+    """bits: uint64 view of the float64 column."""
+    prev = int(bits[0])
+    lead, mlen = -1, -1  # previous window; -1 = none
+    for i in range(1, len(bits)):
+        cur = int(bits[i])
+        xor = prev ^ cur
+        if xor == 0:
+            w.write(0, 1)
+        else:
+            w.write(1, 1)
+            lz = 64 - xor.bit_length()  # leading zeros
+            tz = (xor & -xor).bit_length() - 1  # trailing zeros
+            if lz > 31:
+                lz = 31
+            ml = 64 - lz - tz
+            if lead >= 0 and lz >= lead and lz + ml <= lead + mlen:
+                # fits inside the previous (leading, length) window
+                w.write(0, 1)
+                w.write(xor >> (64 - lead - mlen), mlen)
+            else:
+                w.write(1, 1)
+                w.write(lz, 5)
+                w.write(ml - 1, 6)
+                w.write(xor >> tz, ml)
+                lead, mlen = lz, ml
+        prev = cur
+
+
+def _decode_vals(r: _BitReader, n: int, first: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = first
+    prev = first
+    lead, mlen = 0, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = prev
+            continue
+        if r.read(1) == 0:
+            bits = r.read(mlen)
+            xor = bits << (64 - lead - mlen)
+        else:
+            lead = r.read(5)
+            mlen = r.read(6) + 1
+            bits = r.read(mlen)
+            xor = bits << (64 - lead - mlen)
+        prev ^= xor
+        out[i] = prev
+    return out
+
+
+# ----------------------------------------------------------- chunk api
+
+
+def compress_chunk(ts: np.ndarray, cols: list[np.ndarray]) -> bytes:
+    """(int64 ts[], k float64 columns) -> one Gorilla chunk (bytes)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    if n == 0:
+        return struct.pack("<IH", 0, len(cols))
+    views = [np.ascontiguousarray(c, dtype=np.float64).view(np.uint64) for c in cols]
+    head = struct.pack("<IHq", n, len(views), int(ts[0]))
+    head += b"".join(struct.pack("<Q", int(v[0])) for v in views)
+    tw = _BitWriter()
+    _encode_ts(tw, ts)
+    streams = [tw.getvalue()]
+    for v in views:
+        vw = _BitWriter()
+        _encode_vals(vw, v)
+        streams.append(vw.getvalue())
+    return head + b"".join(struct.pack("<I", len(s)) + s for s in streams)
+
+
+def decompress_chunk(buf: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Inverse of compress_chunk; value arrays are float64 (bit-exact)."""
+    n, k = struct.unpack_from("<IH", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), [np.empty(0) for _ in range(k)]
+    off = 6
+    (first_ts,) = struct.unpack_from("<q", buf, off)
+    off += 8
+    first_vals = []
+    for _ in range(k):
+        (fv,) = struct.unpack_from("<Q", buf, off)
+        first_vals.append(fv)
+        off += 8
+    streams = []
+    for _ in range(k + 1):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        streams.append(buf[off : off + ln])
+        off += ln
+    ts = _decode_ts(_BitReader(streams[0]), n, first_ts)
+    cols = [
+        _decode_vals(_BitReader(streams[i + 1]), n, first_vals[i]).view(np.float64)
+        for i in range(k)
+    ]
+    return ts, cols
+
+
+# ---------------------------------------------------------- spark face
+
+CHUNK_SPAN: dict[str, str] = {"1m": "1d", "5m": "1d", "1h": "1d", "1d": "1d"}
+DEFAULT_VALUE_COLS = ["cnt", "sum", "min", "max", "avg", "last"]
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("chunk_start", T.TimestampType()),
+        T.StructField("n_points", T.IntegerType()),
+        T.StructField("min_ts", T.TimestampType()),
+        T.StructField("max_ts", T.TimestampType()),
+        T.StructField("chunk", T.BinaryType()),
+    ]
+)
+
+
+def compress_tier(
+    tier_df: DataFrame,
+    tier: str,
+    chunk_span: str | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tier rows -> one Gorilla chunk per (series, chunk window).
+
+    groupBy().applyInPandas — acceptable here precisely because input is
+    tier-sized; never point this at raw rows (SURVEY.md §4: no partial
+    agg in grouped-map).  The chunk key includes chunk_start, so a hot
+    source fans out across chunk windows instead of one giant group.
+    """
+    chunk_span = chunk_span or CHUNK_SPAN[tier]
+    value_cols = value_cols or DEFAULT_VALUE_COLS
+    df = tier_df.withColumn("chunk_start", window_start(F.col("window_start"), chunk_span))
+    vcols = list(value_cols)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start", kind="stable")
+        ts = (pdf["window_start"].astype("int64") // 10**9).to_numpy()
+        cols = [pdf[c].to_numpy(dtype="float64") for c in vcols]
+        chunk = compress_chunk(ts, cols)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "metric": [pdf["metric"].iloc[0]],
+                "kind": [pdf["kind"].iloc[0]],
+                "chunk_start": [pdf["chunk_start"].iloc[0]],
+                "n_points": [len(pdf)],
+                "min_ts": [pdf["window_start"].min()],
+                "max_ts": [pdf["window_start"].max()],
+                "chunk": [chunk],
+            }
+        )
+
+    return (
+        df.select(*KEY, "chunk_start", "window_start", *vcols)
+        .groupBy(*KEY, "chunk_start")
+        .applyInPandas(build, CHUNK_SCHEMA)
+    )
+
+
+def decompress_chunks(chunk_df: DataFrame, value_cols: list[str] | None = None) -> DataFrame:
+    """Chunk table -> tier rows (inverse of compress_tier)."""
+    value_cols = value_cols or DEFAULT_VALUE_COLS
+    vcols = list(value_cols)
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("metric", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+        ]
+        + [T.StructField(c, T.DoubleType()) for c in vcols]
+    )
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                ts, cols = decompress_chunk(bytes(row.chunk))
+                frame = {
+                    "source": np.repeat(row.source, len(ts)),
+                    "metric": np.repeat(row.metric, len(ts)),
+                    "kind": np.repeat(row.kind, len(ts)),
+                    "window_start": pd.to_datetime(ts, unit="s"),
+                }
+                for name, col in zip(vcols, cols):
+                    frame[name] = col
+                frames.append(pd.DataFrame(frame))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return chunk_df.select("source", "metric", "kind", "chunk").mapInPandas(explode, out_schema)
