@@ -1,0 +1,227 @@
+"""N8/N9 — the end-to-end resumable rollup job with lineage + retention.
+
+Pipeline:  raw token table -> extract points -> 1m rollup -> cascade
+(5m/1h/1d) -> Gorilla chunks per tier -> lineage seal -> retention.
+
+Checkpoint/resume semantics (north rule): the unit of progress is a
+*seal unit* = (tier, source, day).  A run:
+
+  1. enumerates units present in the raw table,
+  2. anti-joins them against the sealed set from the lineage log,
+  3. recomputes ONLY pending units (raw scan is partition-pruned to
+     pending (source, day) pairs via a broadcast semi-join),
+  4. writes tier rows + chunks with dynamic partition overwrite keyed by
+     the seal unit (idempotent: a replayed unit overwrites itself —
+     the pipeline is deterministic),
+  5. appends sealed lineage rows strictly after the data lands.
+
+Kill the job anywhere and rerun: sealed units are skipped, unsealed
+units are recomputed onto the same partitions, and the final tables are
+identical to a never-killed run (tested in tests/test_pipeline.py).
+
+Retention: a raw (source, day) partition is dropped once EVERY tier has
+a sealed unit covering it — the Iceberg analog is `DELETE WHERE`, the
+parquet fallback removes the partition directory.
+
+Skew (N10): the heavy shuffle is the 1m groupBy, which Spark executes
+as partial+final native aggregation — the hot "web" source is spread by
+(source, metric, kind, window_start) grouping, whose cardinality scales
+with time, not rows.  The only grouped-map stage (Gorilla) runs on
+tier-sized data keyed down to (series, chunk day).  AQE handles
+residual shuffle skew; `operators/skew.py` provides explicit salting
+for custom grouped-map stages over raw-sized data.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logtrics_spark.operators.extract import extract_points
+from logtrics_spark.operators.gorilla import compress_tier, decompress_chunks
+from logtrics_spark.operators.rollup import TIER_ORDER, cascade, rollup
+from logtrics_spark.storage.tableio import ParquetTableIO
+
+DAY_FMT = "yyyy-MM-dd"
+
+
+def _day(col):
+    return F.date_format(col, DAY_FMT)
+
+
+class RollupJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        tiers: list[str] | None = None,
+        per_source_ts: bool = False,
+        step_seconds: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.io = ParquetTableIO(spark, root)
+        self.tiers = tiers or TIER_ORDER
+        self.per_source_ts = per_source_ts
+        self.step_seconds = step_seconds
+
+    # ------------------------------------------------------------ ingest
+    def ingest_raw(self, df: DataFrame, mode: str = "overwrite_partitions") -> None:
+        """Write the raw token table partitioned by (source, day).
+
+        day derives from the doc_id-ordered timestamp, so retention can
+        drop raw data at day granularity.  tokens pass through untouched
+        (BASELINE.json per-row token-array equality invariant).
+
+        mode='overwrite_partitions' (default): idempotent full/partition
+        loads — re-ingesting the same batch replaces, never duplicates.
+        mode='append': incremental feeds whose batches share partitions
+        with earlier ingests (an overwrite here would silently DROP the
+        earlier rows of any day both batches touch).
+        """
+        if mode not in ("overwrite_partitions", "append"):
+            raise ValueError(f"unknown ingest mode {mode!r}")
+        from logtrics_spark.operators.extract import with_ts
+
+        raw = with_ts(df, per_source=self.per_source_ts, step_seconds=self.step_seconds)
+        raw = raw.withColumn("day", _day("ts"))
+        self.io.write_partitioned(
+            raw, "raw", ["source", "day"], overwrite_dynamic=(mode == "overwrite_partitions")
+        )
+
+    def read_raw(self) -> DataFrame:
+        return self.io.read("raw")
+
+    # ------------------------------------------------------------- units
+    def _all_units(self, raw: DataFrame) -> DataFrame:
+        return raw.select("source", "day").distinct()
+
+    def pending_units(
+        self, raw: DataFrame, tier: str, seal_before: str | None = None
+    ) -> DataFrame:
+        sealed = (
+            self.io.sealed_units()
+            .where(F.col("tier") == tier)
+            .select("source", _day("window_start").alias("day"))
+        )
+        units = self._all_units(raw)
+        if seal_before is not None:
+            # watermark: never seal a day that may still receive data —
+            # sealed units are immutable, so sealing a partial day would
+            # silently drop its late arrivals on the next run
+            units = units.where(F.col("day") < seal_before)
+        return units.join(sealed, ["source", "day"], "left_anti")
+
+    # --------------------------------------------------------------- run
+    def run(
+        self,
+        run_id: str | None = None,
+        fail_after_tier: str | None = None,
+        seal_before: str | None = None,
+    ) -> dict:
+        """Compute pending units for every tier; returns per-tier counts.
+
+        ``seal_before`` ('yyyy-MM-dd'): only seal days strictly before
+        this watermark, so an in-progress ingest day is never frozen.
+        ``fail_after_tier`` injects a crash after sealing that tier —
+        used by the kill/resume test; never set in production.
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        raw = self.read_raw()
+        stats: dict[str, int] = {}
+        prev_tier_df: DataFrame | None = None
+
+        for i, tier in enumerate(self.tiers):
+            pending = self.pending_units(raw, tier, seal_before=seal_before)
+            pending_list = [(r["source"], r["day"]) for r in pending.collect()]
+            if not pending_list:
+                stats[tier] = 0
+                # cascade input for the next tier still needs this tier's table
+                prev_tier_df = self.io.read("tier=" + tier) if self.io.exists("tier=" + tier) else None
+                continue
+
+            if i == 0:
+                # partition-pruned scan: only pending (source, day) pairs
+                src = raw.join(F.broadcast(pending), ["source", "day"], "left_semi")
+                points = extract_points(
+                    src, per_source=self.per_source_ts, step_seconds=self.step_seconds
+                )
+                tier_df = rollup(points, tier)
+            else:
+                assert prev_tier_df is not None, "cascade input missing"
+                fine = prev_tier_df.withColumn("day", _day("window_start")).join(
+                    F.broadcast(pending), ["source", "day"], "left_semi"
+                )
+                tier_df = cascade(fine.drop("day"), self.tiers[i - 1], tier)
+
+            tier_df = tier_df.withColumn("day", _day("window_start"))
+            self.io.write_partitioned(tier_df, f"tier={tier}", ["day", "source"])
+
+            # chunks from the *written* tier rows (read-back verifies the write)
+            written = (
+                self.io.read(f"tier={tier}")
+                .join(F.broadcast(pending), ["source", "day"], "left_semi")
+                .drop("day")
+            )
+            chunks = compress_tier(written, tier, chunk_span="1d")
+            chunks = chunks.withColumn("day", _day("chunk_start"))
+            self.io.write_partitioned(chunks, f"chunks/tier={tier}", ["day", "source"])
+
+            # lineage rows from written chunks (small: one per unit-series)
+            lin = (
+                self.io.read(f"chunks/tier={tier}")
+                .join(F.broadcast(pending), ["source", "day"], "left_semi")
+                .groupBy("source", "chunk_start")
+                .agg(F.count("*").alias("row_count"), F.sum("n_points").alias("point_count"))
+                .collect()
+            )
+            self.io.append_lineage(
+                [
+                    {
+                        "tier": tier,
+                        "source": r["source"],
+                        "window_start": r["chunk_start"],
+                        "input_partitions": [f"raw/source={r['source']}"],
+                        "row_count": r["row_count"],
+                        "point_count": r["point_count"],
+                        "sealed": True,
+                        "run_id": run_id,
+                    }
+                    for r in lin
+                ]
+            )
+            stats[tier] = len(pending_list)
+            prev_tier_df = self.io.read(f"tier={tier}")
+            if fail_after_tier == tier:
+                raise RuntimeError(f"injected failure after tier {tier}")
+        return stats
+
+    # --------------------------------------------------------- retention
+    def retention(self) -> list[tuple[str, str]]:
+        """Drop raw (source, day) partitions covered by seals in ALL tiers."""
+        sealed = self.io.sealed_units().select(
+            "tier", "source", _day("window_start").alias("day")
+        )
+        n_tiers = len(self.tiers)
+        covered = (
+            sealed.where(F.col("tier").isin(self.tiers))
+            .groupBy("source", "day")
+            .agg(F.countDistinct("tier").alias("n"))
+            .where(F.col("n") == n_tiers)
+            .collect()
+        )
+        dropped = []
+        for r in covered:
+            if self.io.drop_partition("raw", source=r["source"], day=r["day"]):
+                dropped.append((r["source"], r["day"]))
+        return dropped
+
+    # ------------------------------------------------------------- reads
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.io.read(f"tier={tier}").drop("day")
+
+    def read_tier_from_chunks(self, tier: str) -> DataFrame:
+        """Serve a tier by decompressing its Gorilla chunks (the post-
+        retention read path)."""
+        return decompress_chunks(self.io.read(f"chunks/tier={tier}").drop("day"))

@@ -1,0 +1,128 @@
+"""TableIO seam — Iceberg-shaped storage on a parquet fallback.
+
+The north rule targets partitioned Iceberg tables; this sandbox has no
+Iceberg jars (SURVEY.md §7), so the seam exposes the three capabilities
+the engine needs — partitioned write, partition-pruned read, partition
+drop — with a parquet implementation whose directory layout matches what
+an Iceberg `PARTITIONED BY (source, day)` table would produce.  Swapping
+in Iceberg is a constructor change (`writeTo(...).overwritePartitions()`
+/ `DELETE WHERE`), not a pipeline change.
+
+Layout under the store root:
+
+    raw/                    source=<s>/day=<d>/*.parquet
+    tier=<T>/               day=<d>/*.parquet          (rollup rows)
+    chunks/tier=<T>/        day=<d>/source=<s>/*.parquet (Gorilla chunks)
+    lineage/                append-only parquet log
+
+Idempotent seal protocol (SURVEY.md §7.7 hard part #2), no transactions
+needed: chunk/tier writes use dynamic partition overwrite keyed by the
+seal unit, so a replayed unit overwrites itself byte-for-byte (the
+pipeline is deterministic); the lineage row is appended strictly AFTER
+its data lands.  A crash between the two leaves an unsealed unit that
+the next run simply recomputes onto the same partitions.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("tier", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("window_start", T.TimestampType(), False),  # seal-unit window
+        T.StructField("input_partitions", T.ArrayType(T.StringType()), True),
+        T.StructField("row_count", T.LongType(), True),
+        T.StructField("point_count", T.LongType(), True),
+        T.StructField("sealed", T.BooleanType(), False),
+        T.StructField("chunk_file", T.StringType(), True),
+        T.StructField("run_id", T.StringType(), True),
+    ]
+)
+
+
+class ParquetTableIO:
+    """Partition-layout-compatible parquet implementation of the seam."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ---- generic partitioned tables -----------------------------------
+    def path(self, *parts: str) -> str:
+        return str(self.root.joinpath(*parts))
+
+    def exists(self, *parts: str) -> bool:
+        return Path(self.path(*parts)).exists()
+
+    def write_partitioned(
+        self, df: DataFrame, table: str, partition_cols: list[str], overwrite_dynamic: bool = True
+    ) -> None:
+        """Dynamic partition overwrite: only partitions present in df are
+        replaced — the parquet analog of Iceberg overwritePartitions."""
+        writer = df.write.partitionBy(*partition_cols)
+        if overwrite_dynamic:
+            writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        else:
+            writer = writer.mode("append")
+        writer.parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.option("basePath", self.path(table)).parquet(self.path(table))
+
+    def drop_partition(self, table: str, **partition_values: str) -> bool:
+        """Drop one partition directory (Iceberg: DELETE WHERE/drop partition).
+
+        Values are applied in the order given; returns True if removed.
+        """
+        sub = "/".join(f"{k}={v}" for k, v in partition_values.items())
+        target = Path(self.path(table)) / sub
+        if target.exists():
+            shutil.rmtree(target)
+            return True
+        return False
+
+    def list_partitions(self, table: str, col: str) -> list[str]:
+        base = Path(self.path(table))
+        if not base.exists():
+            return []
+        out = []
+        for p in sorted(base.rglob(f"{col}=*")):
+            if p.is_dir():
+                out.append(p.name.split("=", 1)[1])
+        return sorted(set(out))
+
+    # ---- lineage log ---------------------------------------------------
+    def append_lineage(self, rows: list[dict]) -> None:
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            [
+                tuple(r.get(f.name) for f in LINEAGE_SCHEMA.fields)
+                for r in rows
+            ],
+            LINEAGE_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path("lineage"))
+
+    def read_lineage(self) -> DataFrame:
+        if not self.exists("lineage"):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.parquet(self.path("lineage"))
+
+    def sealed_units(self) -> DataFrame:
+        """Latest-wins view: (tier, source, window_start) currently sealed."""
+        lin = self.read_lineage()
+        return (
+            lin.groupBy("tier", "source", "window_start")
+            .agg(F.max_by("sealed", "run_id").alias("sealed"))
+            .where(F.col("sealed"))
+            .drop("sealed")
+        )

@@ -1,0 +1,160 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logtrics_spark.datagen import gen_tokseq
+from logtrics_spark.operators.extract import extract_points
+from logtrics_spark.operators.rollup import TIERS, rollup
+from logtrics_spark.plans.pipeline import RollupJob
+
+N = 4_000  # spans >1 hour of derived ts; with step 30s spans >1 day
+STEP = 30  # 30s per doc -> 4000 docs ~ 33h -> 2 days of data
+KEY = ["source", "metric", "kind", "window_start"]
+
+
+def _tiers_equal(a: pd.DataFrame, b: pd.DataFrame, cols=("cnt", "sum", "min", "max", "avg", "last")):
+    a = a.sort_values(KEY).reset_index(drop=True)
+    b = b.sort_values(KEY).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        av, bv = a[c].to_numpy(dtype="float64"), b[c].to_numpy(dtype="float64")
+        assert np.array_equal(av.view(np.uint64), bv.view(np.uint64)), c
+
+
+@pytest.fixture()
+def tok(spark):
+    return gen_tokseq(spark, N, partitions=4)
+
+
+def _run_clean(spark, tok, root) -> RollupJob:
+    job = RollupJob(spark, root, step_seconds=STEP)
+    job.ingest_raw(tok)
+    job.run(run_id="clean")
+    return job
+
+
+def test_end_to_end_matches_direct_rollup(spark, tok, tmp_path):
+    job = _run_clean(spark, tok, str(tmp_path / "store"))
+    from logtrics_spark.operators.extract import with_ts
+
+    pts = extract_points(tok, step_seconds=STEP)
+    for tier in ["1m", "1h", "1d"]:
+        direct = rollup(pts, tier).toPandas()
+        stored = job.read_tier(tier).toPandas()
+        _tiers_equal(direct, stored)
+
+
+def test_chunks_serve_identical_tier(spark, tok, tmp_path):
+    job = _run_clean(spark, tok, str(tmp_path / "store"))
+    stored = job.read_tier("5m").toPandas()
+    from_chunks = job.read_tier_from_chunks("5m").toPandas()
+    _tiers_equal(stored, from_chunks)
+
+
+def test_second_run_is_noop(spark, tok, tmp_path):
+    job = _run_clean(spark, tok, str(tmp_path / "store"))
+    stats = job.run(run_id="again")
+    assert all(v == 0 for v in stats.values()), stats
+
+
+def test_kill_and_resume_identical(spark, tok, tmp_path):
+    """SURVEY.md §5.6: kill after tier 1m sealed -> rerun -> tables equal
+    to a never-killed run."""
+    clean = _run_clean(spark, tok, str(tmp_path / "clean"))
+
+    killed = RollupJob(spark, str(tmp_path / "killed"), step_seconds=STEP)
+    killed.ingest_raw(tok)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        killed.run(run_id="r1", fail_after_tier="1m")
+    # resume: 1m sealed (skipped), coarser tiers recomputed
+    stats = killed.run(run_id="r2")
+    assert stats["1m"] == 0 and stats["5m"] > 0
+    for tier in ["1m", "5m", "1h", "1d"]:
+        _tiers_equal(clean.read_tier(tier).toPandas(), killed.read_tier(tier).toPandas())
+        _tiers_equal(
+            clean.read_tier_from_chunks(tier).toPandas(),
+            killed.read_tier_from_chunks(tier).toPandas(),
+        )
+
+
+def test_retention_drops_only_fully_sealed(spark, tok, tmp_path):
+    job = _run_clean(spark, tok, str(tmp_path / "store"))
+    raw_before = set(job.io.list_partitions("raw", "day"))
+    dropped = job.retention()
+    assert dropped, "expected fully-sealed raw partitions to drop"
+    # every dropped day is sealed in every tier
+    sealed = job.io.sealed_units().toPandas()
+    sealed["day"] = sealed["window_start"].dt.strftime("%Y-%m-%d")
+    for src, day in dropped:
+        got = set(sealed[(sealed.source == src) & (sealed.day == day)]["tier"])
+        assert got == set(job.tiers), (src, day, got)
+    # tier reads still work after raw is gone
+    assert job.read_tier_from_chunks("1d").count() > 0
+
+
+def test_tokens_roundtrip_through_raw_store(spark, tok, tmp_path):
+    """Token-array equality survives the raw write (BASELINE.json:15)."""
+    job = RollupJob(spark, str(tmp_path / "store"), step_seconds=STEP)
+    job.ingest_raw(tok)
+    back = job.read_raw().select("doc_id", "tokens").toPandas()
+    orig = tok.select("doc_id", "tokens").toPandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig)
+    for a, b in zip(back["tokens"], orig["tokens"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_salted_two_phase_agg(spark, tok):
+    from logtrics_spark.operators.skew import salted_two_phase_agg
+
+    got = (
+        salted_two_phase_agg(
+            tok,
+            keys=["source"],
+            fine_col="doc_id",
+            phase1_aggs=[F.sum("n_tok").alias("ps"), F.count("*").alias("pc")],
+            phase2_aggs=[F.sum("ps").alias("sum_n_tok"), F.sum("pc").alias("cnt")],
+            buckets=16,
+        )
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    exp = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tok").alias("sum_n_tok"), F.count("*").alias("cnt"))
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp[got.columns])
+
+
+def test_incremental_append_with_watermark(spark, tmp_path):
+    """Late data for an unsealed (watermarked) day must roll up on the
+    next run; incremental append == clean one-shot, bit-identical."""
+    all_docs = gen_tokseq(spark, 3000, partitions=3)
+    early = all_docs.where(F.substring("doc_id", 4, 12).cast("long") < 2100)
+    late = all_docs.where(F.substring("doc_id", 4, 12).cast("long") >= 2100)
+
+    inc = RollupJob(spark, str(tmp_path / "inc"), step_seconds=60)
+    inc.ingest_raw(early)
+    inc.run(run_id="r1", seal_before="2024-01-02")  # day 2 stays open
+    inc.ingest_raw(late, mode="append")
+    inc.run(run_id="r2")
+
+    clean = RollupJob(spark, str(tmp_path / "clean"), step_seconds=60)
+    clean.ingest_raw(all_docs)
+    clean.run(run_id="c")
+    for tier in ["1m", "1d"]:
+        _tiers_equal(inc.read_tier(tier).toPandas(), clean.read_tier(tier).toPandas())
+
+
+def test_ingest_mode_validation(spark, tmp_path):
+    job = RollupJob(spark, str(tmp_path / "s"))
+    with pytest.raises(ValueError, match="ingest mode"):
+        job.ingest_raw(gen_tokseq(spark, 5, partitions=1), mode="merge")
