@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 over
+the driver's testdata tables; ``oracle_sql()`` gives the DuckDB twin.
+Conventions keeping the value-hash comparison stable:
+- window starts emitted as BIGINT epoch seconds (``ws``) — no tz
+  round-trip ambiguity;
+- every aggregate/computed column aliased identically on both sides;
+- double-valued results rounded (4-6 dp) on both sides so FP summation
+  order can't flip the hash.
+
+The events table stands in for the metric-point stream (source =
+event_type), documents for the regex/text corpus, embeddings for the
+similarity ops — per FIXTURES.md F7.  Token-table pipeline ops whose
+input is synthesized (no DuckDB view exists) and genuinely non-SQL ops
+(Gorilla, minhash/simhash LSH, multimodal) have no oracle entry and get
+the driver's rows-only check; their bit-level oracles live in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +22,488 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TIER_SECS = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400}
+
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> the engine's point schema (source, metric, kind, ts, value)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_type").alias("source"),
+        F.lit("ev.value").alias("metric"),
+        F.lit("gauge").alias("kind"),
+        F.col("ts"),
+        F.col("value"),
+    )
+
+
+def _ws(tier: str):
+    secs = TIER_SECS[tier]
+    return ((F.unix_timestamp("ts") / secs).cast("long") * secs).alias("ws")
+
+
+def _rollup_events(spark, sf_dir, tier: str) -> DataFrame:
+    from logtrics_spark.operators.rollup import rollup
+
+    r = rollup(_events_points(spark, sf_dir), tier)
+    return r.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        F.col("cnt").alias("cnt"),
+        _q("sum", 4).alias("sum_val"),
+        _q("min", 4).alias("min_val"),
+        _q("max", 4).alias("max_val"),
+        _q("avg", 4).alias("avg_val"),
+    )
+
+
+def _rollup_sql(tier: str) -> str:
+    secs = TIER_SECS[tier]
+    return f"""
+        SELECT event_type AS source,
+               CAST(floor(extract(epoch FROM ts)/{secs})*{secs} AS BIGINT) AS ws,
+               count(*) AS cnt,
+               floor((sum(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS sum_val,
+               floor((min(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS min_val,
+               floor((max(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS max_val,
+               floor((avg(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_val
+        FROM events GROUP BY 1, 2
+    """
+
+
+
+def _q(col, d: int = 4):
+    """Cross-engine-stable quantization: floor(x*10^d + 0.5 + eps)/10^d.
+
+    Spark's round() rounds the shortest-decimal rendering of the double
+    while DuckDB rounds the binary value, so exact .5 boundaries (common
+    for averages of 2-decimal data) disagree.  The epsilon shift moves
+    both engines off the boundary in the same direction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10 ** d)
+    return F.floor(c * scale + 0.5 + 1e-6) / scale
+
+
+def _qsql(expr: str, d: int = 4) -> str:
+    scale = float(10 ** d)
+    return f"floor(({expr}) * {scale} + 0.5 + 1e-6) / {scale}"
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _rollup_events(spark, sf_dir, "1m")
+
+
+def q_rollup_1h(spark, sf_dir):
+    return _rollup_events(spark, sf_dir, "1h")
+
+
+def q_cascade_1h(spark, sf_dir):
+    """1m -> 5m -> 1h cascade; oracle computes 1h directly (associativity)."""
+    from logtrics_spark.operators.rollup import cascade, rollup
+
+    r1m = rollup(_events_points(spark, sf_dir), "1m")
+    r1h = cascade(cascade(r1m, "1m", "5m"), "5m", "1h")
+    return r1h.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt",
+        _q("sum", 4).alias("sum_val"),
+        _q("min", 4).alias("min_val"),
+        _q("max", 4).alias("max_val"),
+        _q("avg", 4).alias("avg_val"),
+    )
+
+
+def q_cum_counter_1d(spark, sf_dir):
+    """Cumulative counter view (go-metrics counters never reset at flush)."""
+    from logtrics_spark.operators.rollup import rollup, with_cumulative
+
+    r = with_cumulative(rollup(_events_points(spark, sf_dir), "1d"))
+    return r.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("cum_sum", 4).alias("cum_sum"),
+    )
+
+
+def q_gauge_last_1h(spark, sf_dir):
+    from logtrics_spark.operators.rollup import rollup
+
+    r = rollup(_events_points(spark, sf_dir), "1h")
+    return r.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("last", 4).alias("last_val"),
+    )
+
+
+def q_meter_rate_1h(spark, sf_dir):
+    from logtrics_spark.operators.rollup import rollup
+
+    r = rollup(_events_points(spark, sf_dir), "1h")
+    return r.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt",
+        _q("rate", 6).alias("rate"),
+    )
+
+
+def q_timer_pcts_1d(spark, sf_dir):
+    from logtrics_spark.operators.rollup import timer_percentiles
+
+    pts = _events_points(spark, sf_dir).withColumn("kind", F.lit("timer"))
+    p = timer_percentiles(pts, "1d", exact=True)
+    return p.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt",
+        _q("p50", 4).alias("p50"),
+        _q("p95", 4).alias("p95"),
+        _q("p999", 4).alias("p999"),
+    )
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    from logtrics_spark.operators.gapfill import gapfill
+    from logtrics_spark.operators.rollup import rollup
+
+    r = rollup(_events_points(spark, sf_dir), "1h")
+    g = gapfill(r, "1h", method="locf", value_cols=["last"])
+    return g.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("last", 4).alias("last_val"),
+    )
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    from logtrics_spark.operators.gapfill import gapfill
+    from logtrics_spark.operators.rollup import rollup
+
+    r = rollup(_events_points(spark, sf_dir), "1h")
+    g = gapfill(r, "1h", method="linear", value_cols=["avg"])
+    return g.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("avg", 4).alias("avg_val"),
+    )
+
+
+def q_extract_regex(spark, sf_dir):
+    """F1/F2: regex gate + first-match extraction over documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pat = r"(qu[a-z]+)"
+    return docs.where(F.col("text").rlike(pat)).select(
+        "doc_id", F.regexp_extract("text", pat, 1).alias("first_qu")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups keyed by content hash (md5 for oracle parity)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    from logtrics_spark.operators.text import punct_ratio, whitespace_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        _q(punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from logtrics_spark.operators.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", language_id("text").alias("lang_id"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    from logtrics_spark.operators.similarity import cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = cosine_topk(embs, embs.where("vec_id < 5"), k=5)
+    return got.select(
+        "query_id", "id", _q("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return embs.select("vec_id", _q(F.sqrt(dot), 4).alias("norm"))
+
+
+# ------------------------------- rows-only (non-SQL-expressible) ops
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from logtrics_spark.operators.dedup import minhash_lsh_dupes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = (
+        docs.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
+    )
+    return minhash_lsh_dupes(docs.unionByName(near), threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from logtrics_spark.operators.dedup import simhash_dupes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = (
+        docs.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    )
+    return simhash_dupes(docs.unionByName(near)).where("hamming <= 8")
+
+
+def q_tokseq_tiers(spark, sf_dir):
+    """Flagship token pipeline: synth table -> extract -> 1m -> 1h."""
+    from logtrics_spark.datagen import gen_tokseq
+    from logtrics_spark.operators.extract import extract_points
+    from logtrics_spark.operators.rollup import cascade, rollup
+
+    tok = gen_tokseq(spark, 20_000, partitions=8)
+    r1m = rollup(extract_points(tok, step_seconds=5), "1m")
+    return cascade(cascade(r1m, "1m", "5m"), "5m", "1h").select(
+        "source", "metric", "kind",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt", "sum", "min", "max",
+        F.round("avg", 6).alias("avg"), "last",
+    )
+
+
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Compress events 1m tier to Gorilla chunks, decompress back."""
+    from logtrics_spark.operators.gorilla import compress_tier, decompress_chunks
+    from logtrics_spark.operators.rollup import rollup
+
+    r = rollup(_events_points(spark, sf_dir), "1m")
+    back = decompress_chunks(compress_tier(r, "1m", chunk_span="1d"))
+    return back.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        F.col("cnt").cast("long").alias("cnt"),
+        _q("sum", 4).alias("sum_val"),
+        _q("avg", 4).alias("avg_val"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from logtrics_spark.operators.multimodal import extract_features, gen_media
+
+    return extract_features(gen_media(spark, 200), dim=8).select(
+        "media_id", "modality", "n_bytes", _q(F.element_at("feature", 1), 4).alias("f0")
+    )
+
+
+# ---------------------------------------------------------------- driver
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: regex rule -> metric points -> tier cascade on sf0.001."""
+    import pandas as pd  # noqa: F401
+
+    from logtrics_spark.api import Engine
+    from logtrics_spark.operators.rollup import cascade, rollup
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.col("event_type").alias("source"),
+        F.concat(F.lit("type="), "event_type", F.lit(" props="), "props").alias("line"),
+        "ts",
+    )
+
+    def handler(caps, m):
+        m.counter("ev.k.total").inc(caps["k"])
+        m.meter("ev.rate").mark(1)
+
+    eng = Engine()
+    eng.rule("props_k", r'props=\{"k": (?P<k>\d+)\}', handler)
+    points = eng.run(lines)
+    return cascade(rollup(points, "1m"), "1m", "1h")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "cascade_1h": q_cascade_1h,
+        "cum_counter_1d": q_cum_counter_1d,
+        "gauge_last_1h": q_gauge_last_1h,
+        "meter_rate_1h": q_meter_rate_1h,
+        "timer_pcts_1d": q_timer_pcts_1d,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
+        "extract_regex": q_extract_regex,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "similarity_topk": q_similarity_topk,
+        "embedding_norms": q_embedding_norms,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "tokseq_tiers": q_tokseq_tiers,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {
+        "rollup_1m": _rollup_sql("1m"),
+        "rollup_1h": _rollup_sql("1h"),
+        "cascade_1h": _rollup_sql("1h"),
+        "cum_counter_1d": """
+            WITH d AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/86400)*86400 AS BIGINT) AS ws,
+                     sum(value) AS s
+              FROM events GROUP BY 1, 2)
+            SELECT source, ws,
+                   floor((sum(s) OVER (PARTITION BY source ORDER BY ws
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS cum_sum
+            FROM d
+        """,
+        "gauge_last_1h": """
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                   floor((arg_max(value, ts)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS last_val
+            FROM events GROUP BY 1, 2
+        """,
+        "meter_rate_1h": """
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                   count(*) AS cnt,
+                   floor((count(*) / 3600.0) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS rate
+            FROM events GROUP BY 1, 2
+        """,
+        "timer_pcts_1d": """
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/86400)*86400 AS BIGINT) AS ws,
+                   count(*) AS cnt,
+                   floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p50,
+                   floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p95,
+                   floor((quantile_cont(value, 0.999)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p999
+            FROM events GROUP BY 1, 2
+        """,
+        "gapfill_locf_1h": """
+            WITH t AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                     arg_max(value, ts) AS v
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT source, min(ws) mn, max(ws) mx FROM t GROUP BY source),
+            spine AS (
+              SELECT b.source, unnest(range(b.mn, b.mx + 3600, 3600)) AS ws FROM bounds b)
+            SELECT s.source, s.ws,
+                   floor((last_value(t.v IGNORE NULLS) OVER (
+                     PARTITION BY s.source ORDER BY s.ws
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS last_val
+            FROM spine s LEFT JOIN t ON s.source = t.source AND s.ws = t.ws
+        """,
+        "gapfill_linear_1h": """
+            WITH t AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT source, min(ws) mn, max(ws) mx FROM t GROUP BY source),
+            spine AS (
+              SELECT b.source, unnest(range(b.mn, b.mx + 3600, 3600)) AS ws FROM bounds b),
+            j AS (
+              SELECT s.source, s.ws, t.v,
+                     CASE WHEN t.v IS NOT NULL THEN s.ws END AS ws_known
+              FROM spine s LEFT JOIN t ON s.source = t.source AND s.ws = t.ws),
+            f AS (
+              SELECT source, ws, v,
+                     last_value(v IGNORE NULLS) OVER (PARTITION BY source ORDER BY ws
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                     last_value(ws_known IGNORE NULLS) OVER (PARTITION BY source ORDER BY ws
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                     first_value(v IGNORE NULLS) OVER (PARTITION BY source ORDER BY ws
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                     first_value(ws_known IGNORE NULLS) OVER (PARTITION BY source ORDER BY ws
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM j)
+            SELECT source, ws,
+                   floor((CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                              THEN pv + (nv - pv) * (ws - pt) / (nt - pt)
+                         END) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_val
+            FROM f
+        """,
+        "extract_regex": r"""
+            SELECT doc_id, regexp_extract(text, '(qu[a-z]+)', 1) AS first_qu
+            FROM documents WHERE regexp_matches(text, '(qu[a-z]+)')
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   floor((CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS punct_ratio
+            FROM documents
+        """,
+        "lang_id": r"""
+            WITH h AS (
+              SELECT doc_id,
+                [struct_pack(hits := len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with)\b')), lang := 'en'),
+                 struct_pack(hits := len(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|ein|mit)\b')), lang := 'de'),
+                 struct_pack(hits := len(regexp_extract_all(text, '(?i)\b(le|la|les|et|des|est|une|dans)\b')), lang := 'fr'),
+                 struct_pack(hits := len(regexp_extract_all(text, '(?i)\b(el|la|los|que|de|en|es|una)\b')), lang := 'es')
+                ] AS cands
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN list_sort(cands)[4].hits > 0
+                        THEN list_sort(cands)[4].lang ELSE 'und' END AS lang_id
+            FROM h
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qv AS DOUBLE[])) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, id, floor(cos * 10000.0 + 0.5 + 1e-6) / 10000.0 AS cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+              FROM scored)
+            SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 5
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   floor((sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> x * x)))) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS norm
+            FROM embeddings
+        """,
+    }
+    return sqls

@@ -1,0 +1,113 @@
+"""Bench harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Times the headline pipeline (synthesized token table -> extract -> tier
+rollups -> Gorilla chunk writes -> lineage, i.e. the BASELINE.json
+metric "points/sec through Gorilla-compressed tier writes") plus the
+key driver queries at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_TOK_ROWS      override token-table rows (default sf * 1e6)
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+bench/scaling.py, which shells out to this file at two parallelism
+levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    tok_rows = int(os.environ.get("BENCH_TOK_ROWS", str(int(sf * 1_000_000))))
+
+    import __spark_entry__ as entrymod
+    from logtrics_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="logtrics-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- headline: token pipeline through Gorilla tier writes ----------
+    from logtrics_spark.datagen import gen_tokseq
+    from logtrics_spark.plans.pipeline import RollupJob
+
+    store = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        tok = gen_tokseq(spark, tok_rows, partitions=max(cpus, 8))
+        job = RollupJob(spark, store, step_seconds=1)
+        t0 = time.perf_counter()
+        job.ingest_raw(tok)
+        t_ingest = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        job.run(run_id="bench")
+        t_run = time.perf_counter() - t0
+        timings["tok_ingest"] = round(t_ingest, 3)
+        timings["tok_pipeline"] = round(t_run, 3)
+        n_points = 4 * tok_rows  # extract emits 4 metric points per row
+        extras["points_per_sec"] = round(n_points / t_run, 1)
+        extras["tok_rows"] = tok_rows
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    # ---- driver queries at sf_dir ---------------------------------------
+    qs = entrymod.queries()
+    for name in [
+        "rollup_1m",
+        "cascade_1h",
+        "cum_counter_1d",
+        "timer_pcts_1d",
+        "gapfill_locf_1h",
+        "gapfill_linear_1h",
+        "gorilla_roundtrip",
+        "extract_regex",
+        "dedup_exact",
+        "text_stats",
+        "lang_id",
+        "similarity_topk",
+        "minhash_pairs",
+        "simhash_pairs",
+    ]:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline wall-clock (token pipeline + driver queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "points_per_sec": extras["points_per_sec"],
+                "tok_rows": extras["tok_rows"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

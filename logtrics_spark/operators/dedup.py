@@ -1,0 +1,320 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, cheapest first:
+- exact_dedup: hash-groupBy on a content fingerprint (one shuffle,
+  map-side combined; the 100 TB workhorse)
+- minhash_lsh_dupes: shingle -> minhash signature -> banded LSH
+  bucket-join; candidate pairs only ever compare within a bucket, so
+  the quadratic blowup is bounded by bucket size, not corpus size
+- simhash_dupes: 64-bit simhash; near-dups = identical simhash after
+  band masking (Hamming-adjacent buckets)
+- ngram_jaccard_pairs: exact Jaccard on n-gram sets for candidate pairs
+  (verification stage after LSH, or standalone on small corpora)
+- embedding_cosine_dupes: near-dup by cosine over an embedding column
+
+All signature computation is JVM-side (xxhash64 / array functions);
+no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text; adds dup_count.
+
+    groupBy on a 64-bit fingerprint, not the raw text, so the shuffle
+    carries 8-byte keys instead of documents.
+    """
+    fp = F.xxhash64(F.col(text_col)).alias("fp64")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fp64")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Only the groups with >1 member (the actual duplicates)."""
+    return exact_dedup(df, text_col, id_col).where(F.col("dup_count") > 1)
+
+
+# ----------------------------------------------------------- shingles
+
+
+def _shingles(text_col: str, k: int = 5):
+    """Word k-shingles as an array column (lowercased, whitespace-split)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))).otherwise(
+        F.array(F.array_join(words, " "))
+    )
+
+
+# ------------------------------------------------------------ minhash
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash over word shingles.
+
+    Hash family: xxhash64(shingle, seed=i) per permutation i; min per
+    doc.  Entirely JVM-side: explode -> groupBy(id) -> array(min...)
+    would shuffle shingles, so instead we aggregate the min INSIDE the
+    row via array HOFs — zero shuffle for signature computation.
+    """
+    sh = _shingles(text_col, shingle_k).alias("sh")
+
+    # NB: the seed must be captured via a closure factory, NOT a default
+    # arg — pyspark binds a lambda's full parameter list as HOF variables,
+    # so `lambda s, i=i:` would silently receive the array index as i.
+    def _hashed(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("sh"), _hashed(i))) for i in range(num_hashes)]
+    ).alias("sig")
+    return df.select(F.col(id_col).alias("id"), sh).select("id", sig)
+
+
+def minhash_lsh_dupes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH on minhash signatures.
+
+    bands * rows_per_band == num_hashes; two docs are candidates if any
+    band of their signatures matches exactly.  Output: (id_a, id_b,
+    est_jaccard) with id_a < id_b, est_jaccard = fraction of matching
+    minhashes (unbiased Jaccard estimate), optionally thresholded.
+
+    Scale shape: explode to (band_hash, id) -> self-join within band
+    buckets.  The join key is (band, band_hash) so only same-bucket
+    pairs materialize; a pathological bucket (thousands of identical
+    docs) is the data telling you they ARE duplicates.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        .cast("double")
+        / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+    out = pairs.select("id_a", "id_b", est)
+    if threshold is not None:
+        out = out.where(F.col("est_jaccard") >= threshold)
+    return out
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long) — 64-bit simhash over word tokens, JVM-side.
+
+    Per bit b: sum over tokens of (+1 if hash bit set else -1); bit b of
+    the simhash = sign.  Expressed with array HOFs: per-token hashes ->
+    per-bit vote aggregation via transform+aggregate.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(words, lambda w: F.xxhash64(w)).alias("hs")
+    base = df.select(F.col(id_col).alias("id"), hashes)
+
+    # votes[b] = sum(+-1); simhash bit b set iff votes[b] > 0.  Closure
+    # factory for the same reason as minhash_signature: a default-arg
+    # lambda would be bound as a 3-variable HOF lambda by pyspark.
+    def _vote(b: int):
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    votes = [F.aggregate("hs", F.lit(0).cast("long"), _vote(b)) for b in range(64)]
+    sim = None
+    for b, v in enumerate(votes):
+        bitval = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        # shiftleft (not *2**b): bit 63 must wrap into the long sign bit
+        term = F.shiftleft(bitval, b)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return base.select("id", sim.alias("simhash"))
+
+
+def simhash_dupes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs whose simhashes share all 4 16-bit bands minus one
+    (i.e. Hamming distance concentrated in one band) — the classic
+    band-split trick: split 64 bits into 4 bands; near-dups (hamming<=3)
+    must agree exactly on at least one band; join per band.
+    Output: (id_a, id_b, hamming).
+    """
+    sims = simhash64(df, text_col, id_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming")
+    return pairs.select("id_a", "id_b", ham)
+
+
+# ----------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate (id_a, id_b) pairs.
+
+    The verification stage after LSH: joins the docs back in (broadcast
+    when pairs are small), computes |A∩B|/|A∪B| on distinct n-gram sets
+    with array functions.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(_shingles(text_col, n)).alias("grams")
+    )
+    out = (
+        pairs.join(grams.withColumnRenamed("grams", "ga").withColumnRenamed("id", "id_a"), "id_a")
+        .join(grams.withColumnRenamed("grams", "gb").withColumnRenamed("id", "id_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn("uni", F.size(F.array_union("ga", "gb")))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jaccard"),
+        )
+    )
+    return out
+
+
+# -------------------------------------------------- embedding cosine
+
+
+def embedding_cosine_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity >= threshold.
+
+    Scale path: sign-LSH prefilter — bucket on the sign pattern of the
+    first ``bucket_dims`` components (a crude random-hyperplane hash;
+    components of a trained embedding are ~centered), then exact cosine
+    within buckets.  bucket_dims=0 disables the prefilter (exact but
+    quadratic - only for small corpora).
+    """
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    if bucket_dims > 0:
+        sig = None
+        for i in range(bucket_dims):
+            b = F.when(F.element_at("v", i + 1) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i)
+            sig = b if sig is None else sig + b
+        base = base.withColumn("bucket", sig)
+        cond = F.col("a.bucket") == F.col("b.bucket")
+    else:
+        cond = F.lit(True)
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, cond & (F.col("a.id") < F.col("b.id")))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -51,6 +51,10 @@ def _day(col):
     return F.date_format(col, DAY_FMT)
 
 
+def _day_str(ts) -> str:
+    return ts.strftime("%Y-%m-%d")
+
+
 class RollupJob:
     def __init__(
         self,
@@ -131,70 +135,95 @@ class RollupJob:
         raw = self.read_raw()
         stats: dict[str, int] = {}
         prev_tier_df: DataFrame | None = None
+        cached: list[DataFrame] = []
 
-        for i, tier in enumerate(self.tiers):
-            pending = self.pending_units(raw, tier, seal_before=seal_before)
-            pending_list = [(r["source"], r["day"]) for r in pending.collect()]
-            if not pending_list:
-                stats[tier] = 0
-                # cascade input for the next tier still needs this tier's table
-                prev_tier_df = self.io.read("tier=" + tier) if self.io.exists("tier=" + tier) else None
-                continue
+        # fast path: a store with no lineage has nothing sealed, so every
+        # unit is pending — skip the per-tier anti-join + collect entirely
+        # and keep tier/chunk DataFrames cached instead of reading them
+        # back from parquet.  Cuts the fresh-run action count per tier
+        # from ~4 scans to 2 writes + 1 cached aggregate (bench-relevant:
+        # driver-side job overhead, not data volume, dominates small SFs).
+        fresh = not self.io.exists("lineage")
 
-            if i == 0:
-                # partition-pruned scan: only pending (source, day) pairs
-                src = raw.join(F.broadcast(pending), ["source", "day"], "left_semi")
-                points = extract_points(
-                    src, per_source=self.per_source_ts, step_seconds=self.step_seconds
+        try:
+            for i, tier in enumerate(self.tiers):
+                if fresh:
+                    pending = None
+                    if seal_before is not None:
+                        pending = self._all_units(raw).where(F.col("day") < seal_before)
+                else:
+                    pending = self.pending_units(raw, tier, seal_before=seal_before)
+                    if pending.isEmpty():
+                        stats[tier] = 0
+                        prev_tier_df = (
+                            self.io.read("tier=" + tier)
+                            if self.io.exists("tier=" + tier)
+                            else None
+                        )
+                        continue
+
+                def _prune(df: DataFrame) -> DataFrame:
+                    if pending is None:
+                        return df
+                    return df.join(F.broadcast(pending), ["source", "day"], "left_semi")
+
+                if i == 0:
+                    # partition-pruned scan: only pending (source, day) pairs
+                    points = extract_points(
+                        _prune(raw), per_source=self.per_source_ts, step_seconds=self.step_seconds
+                    )
+                    tier_df = rollup(points, tier)
+                else:
+                    assert prev_tier_df is not None, "cascade input missing"
+                    fine = _prune(prev_tier_df.withColumn("day", _day("window_start")))
+                    tier_df = cascade(fine.drop("day"), self.tiers[i - 1], tier)
+
+                tier_df = tier_df.withColumn("day", _day("window_start")).persist()
+                cached.append(tier_df)
+                self.io.write_partitioned(tier_df, f"tier={tier}", ["day", "source"])
+
+                chunks = (
+                    compress_tier(tier_df.drop("day"), tier, chunk_span="1d")
+                    .withColumn("day", _day("chunk_start"))
+                    .persist()
                 )
-                tier_df = rollup(points, tier)
-            else:
-                assert prev_tier_df is not None, "cascade input missing"
-                fine = prev_tier_df.withColumn("day", _day("window_start")).join(
-                    F.broadcast(pending), ["source", "day"], "left_semi"
+                cached.append(chunks)
+                self.io.write_partitioned(chunks, f"chunks/tier={tier}", ["day", "source"])
+
+                # lineage rows from the just-written chunks (small: one per
+                # unit-series); aggregated from cache — the write above is
+                # the durability point, the cache only saves a re-scan
+                lin = (
+                    chunks.groupBy("source", "chunk_start")
+                    .agg(F.count("*").alias("row_count"), F.sum("n_points").alias("point_count"))
+                    .collect()
                 )
-                tier_df = cascade(fine.drop("day"), self.tiers[i - 1], tier)
-
-            tier_df = tier_df.withColumn("day", _day("window_start"))
-            self.io.write_partitioned(tier_df, f"tier={tier}", ["day", "source"])
-
-            # chunks from the *written* tier rows (read-back verifies the write)
-            written = (
-                self.io.read(f"tier={tier}")
-                .join(F.broadcast(pending), ["source", "day"], "left_semi")
-                .drop("day")
-            )
-            chunks = compress_tier(written, tier, chunk_span="1d")
-            chunks = chunks.withColumn("day", _day("chunk_start"))
-            self.io.write_partitioned(chunks, f"chunks/tier={tier}", ["day", "source"])
-
-            # lineage rows from written chunks (small: one per unit-series)
-            lin = (
-                self.io.read(f"chunks/tier={tier}")
-                .join(F.broadcast(pending), ["source", "day"], "left_semi")
-                .groupBy("source", "chunk_start")
-                .agg(F.count("*").alias("row_count"), F.sum("n_points").alias("point_count"))
-                .collect()
-            )
-            self.io.append_lineage(
-                [
-                    {
-                        "tier": tier,
-                        "source": r["source"],
-                        "window_start": r["chunk_start"],
-                        "input_partitions": [f"raw/source={r['source']}"],
-                        "row_count": r["row_count"],
-                        "point_count": r["point_count"],
-                        "sealed": True,
-                        "run_id": run_id,
-                    }
-                    for r in lin
-                ]
-            )
-            stats[tier] = len(pending_list)
-            prev_tier_df = self.io.read(f"tier={tier}")
-            if fail_after_tier == tier:
-                raise RuntimeError(f"injected failure after tier {tier}")
+                self.io.append_lineage(
+                    [
+                        {
+                            "tier": tier,
+                            "source": r["source"],
+                            "window_start": r["chunk_start"],
+                            "input_partitions": [f"raw/source={r['source']}"],
+                            "row_count": r["row_count"],
+                            "point_count": r["point_count"],
+                            "sealed": True,
+                            "run_id": run_id,
+                        }
+                        for r in lin
+                    ]
+                )
+                stats[tier] = len({(r["source"], _day_str(r["chunk_start"])) for r in lin})
+                # cascade input: the cached tier covers every pending unit on
+                # the fast path; on resume, sealed fine-tier days may be
+                # missing from it, so read the full table back (partition-
+                # pruned later by the next tier's pending semi-join)
+                prev_tier_df = tier_df.drop("day") if fresh else self.io.read(f"tier={tier}")
+                if fail_after_tier == tier:
+                    raise RuntimeError(f"injected failure after tier {tier}")
+        finally:
+            for df in cached:
+                df.unpersist()
         return stats
 
     # --------------------------------------------------------- retention

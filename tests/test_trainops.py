@@ -1,0 +1,209 @@
+"""Tests for training-data ops: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup_with_planted_dupes(spark, docs):
+    from logtrics_spark.operators.dedup import exact_dedup, exact_dup_groups
+
+    # plant exact duplicates: copy 10 docs with new ids
+    dup = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    groups = exact_dedup(both)
+    assert groups.agg(F.sum("dup_count")).collect()[0][0] == docs.count() + 10
+    dupes = exact_dup_groups(both).toPandas()
+    assert len(dupes) == 10
+    assert (dupes["dup_count"] == 2).all()
+    # representative is the min id (the original)
+    assert (dupes["keep_id"] < 100000).all()
+
+
+def test_minhash_lsh_finds_near_dupes(spark, docs):
+    from logtrics_spark.operators.dedup import minhash_lsh_dupes
+
+    # near-dup: append one word to 5 docs
+    near = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    both = docs.unionByName(near)
+    pairs = minhash_lsh_dupes(both, threshold=0.5).toPandas()
+    planted = pairs[(pairs.id_b - pairs.id_a) == 200000]
+    assert len(planted) == 5, pairs
+    assert (planted["est_jaccard"] > 0.6).all()
+
+
+def test_minhash_estimates_jaccard(spark):
+    """est_jaccard approximates true word-shingle Jaccard."""
+    from logtrics_spark.operators.dedup import minhash_lsh_dupes, ngram_jaccard_pairs
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": [a, b]}))
+    pairs = minhash_lsh_dupes(df, num_hashes=128, bands=32, shingle_k=3)
+    exact = ngram_jaccard_pairs(df, pairs.select("id_a", "id_b"), n=3).collect()[0]
+    est = pairs.collect()[0]["est_jaccard"]
+    assert abs(est - exact["jaccard"]) < 0.2
+
+
+def test_simhash_near_dupes(spark, docs):
+    from logtrics_spark.operators.dedup import simhash_dupes
+
+    near = (
+        docs.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    )
+    both = docs.unionByName(near)
+    pairs = simhash_dupes(both).where("hamming <= 6").toPandas()
+    planted = pairs[(pairs.id_b - pairs.id_a) == 300000]
+    assert len(planted) == 3
+    # identical docs -> hamming 0
+    same = simhash_dupes(docs.unionByName(docs.limit(2).withColumn("doc_id", F.col("doc_id") + 400000)))
+    assert same.where("hamming = 0").count() >= 2
+
+
+def test_embedding_cosine_dupes(spark, embs):
+    from logtrics_spark.operators.dedup import embedding_cosine_dupes
+
+    # plant: one exact copy of vec 0
+    copy = embs.limit(1).withColumn("vec_id", F.lit(999999).cast("long"))
+    both = embs.unionByName(copy)
+    pairs = embedding_cosine_dupes(both, threshold=0.99, bucket_dims=4).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 999999)).any()
+    assert np.isclose(pairs[(pairs.id_b == 999999)]["cosine"].iloc[0], 1.0)
+
+
+# ------------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy(spark, embs):
+    from logtrics_spark.operators.similarity import cosine_topk
+
+    queries = embs.where("vec_id < 3")
+    got = cosine_topk(embs, queries, k=5).toPandas()
+    pdf = embs.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    for qid in [0, 1, 2]:
+        qi = np.where(ids == qid)[0][0]
+        cos = mat @ mat[qi]
+        cos[qi] = -np.inf
+        exp_top = set(ids[np.argsort(-cos)[:5]])
+        got_top = set(got[got.query_id == qid]["id"])
+        assert got_top == exp_top, qid
+
+
+def test_ivf_topk_recall(spark, embs):
+    from logtrics_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = embs.where("vec_id < 10")
+    exact = cosine_topk(embs, queries, k=5).toPandas()
+    approx = ivf_topk(embs, queries, k=5, n_centroids=8, nprobe=4).toPandas()
+    # recall@5 with half the lists probed should be high on 500 vecs
+    hits = 0
+    for qid in range(10):
+        e = set(exact[exact.query_id == qid]["id"])
+        a = set(approx[approx.query_id == qid]["id"])
+        hits += len(e & a)
+    assert hits / 50 >= 0.6, hits
+
+
+# ------------------------------------------------------------------ text
+def test_text_profile_columns(spark, docs):
+    from logtrics_spark.operators.text import text_profile
+
+    prof = text_profile(docs).toPandas()
+    assert (prof["n_ws_tokens"] > 0).all()
+    assert (prof["n_bpe_tokens"] >= prof["n_ws_tokens"]).all()
+    assert prof["punct_ratio"].between(0, 1).all()
+    assert prof["quality"].between(0, 1).all()
+    assert (prof["lang_id"] == "en").mean() > 0.5  # corpus text is English-ish
+    assert prof["fp64"].nunique() == len(prof)  # distinct docs -> distinct fp
+
+
+def test_token_count_vs_duckdb(spark, docs):
+    import duckdb
+
+    from logtrics_spark.operators.text import whitespace_token_count
+
+    got = (
+        docs.select("doc_id", whitespace_token_count("text").alias("n"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n
+            FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"""
+    ).df()
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_language_id_known_samples(spark):
+    from logtrics_spark.operators.text import language_id
+
+    pdf = pd.DataFrame(
+        {
+            "text": [
+                "the cat and the dog went to the park",
+                "der Hund ist nicht ein Katze mit der Maus",
+                "le chat est dans la maison et les jardins",
+                "xyzzy qwerty plugh",
+            ]
+        }
+    )
+    got = spark.createDataFrame(pdf).select(language_id("text").alias("lang")).toPandas()
+    assert list(got["lang"]) == ["en", "de", "fr", "und"]
+
+
+# ------------------------------------------------------------ multimodal
+def test_multimodal_features(spark):
+    from logtrics_spark.operators.multimodal import extract_features, gen_media
+
+    media = gen_media(spark, 60)
+    feats = extract_features(media, dim=16).toPandas()
+    assert len(feats) == 60
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic: same payload -> same feature
+    again = extract_features(gen_media(spark, 60), dim=16).toPandas()
+    a = np.array(feats.sort_values("media_id")["feature"].tolist())
+    b = np.array(again.sort_values("media_id")["feature"].tolist())
+    assert np.array_equal(a, b)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from logtrics_spark.operators.multimodal import extract_features, gen_media
+
+    media = gen_media(spark, 6)
+    with pytest.raises(Exception, match="NotImplementedError|decoding requires"):
+        extract_features(media, fake_decode=False).collect()
+
+
+def test_frame_sampling_plan(spark):
+    from logtrics_spark.operators.multimodal import frame_sample, gen_media
+
+    media = gen_media(spark, 30)
+    frames = frame_sample(media, every_ms=1000).toPandas()
+    vids = media.where("modality='video'").select("media_id", "meta.duration_ms").toPandas()
+    exp = int(sum(np.ceil(d / 1000) for d in vids["duration_ms"]))
+    assert len(frames) == exp
+    assert (frames.groupby("media_id")["frame_ms"].min() == 0).all()
