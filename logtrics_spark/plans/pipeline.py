@@ -90,8 +90,15 @@ class RollupJob:
 
         raw = with_ts(df, per_source=self.per_source_ts, step_seconds=self.step_seconds)
         raw = raw.withColumn("day", _day("ts"))
+        # cluster=False: raw is the big table — collapsing each (source,
+        # day) to one file would serialize the hot source through one
+        # task (skew) and produce multi-GB files at scale
         self.io.write_partitioned(
-            raw, "raw", ["source", "day"], overwrite_dynamic=(mode == "overwrite_partitions")
+            raw,
+            "raw",
+            ["source", "day"],
+            overwrite_dynamic=(mode == "overwrite_partitions"),
+            cluster=False,
         )
 
     def read_raw(self) -> DataFrame:
@@ -133,18 +140,20 @@ class RollupJob:
         """
         run_id = run_id or uuid.uuid4().hex[:12]
         raw = self.read_raw()
-        stats: dict[str, int] = {}
-        prev_tier_df: DataFrame | None = None
+        stats: dict[str, int] = {t: 0 for t in self.tiers}
         cached: list[DataFrame] = []
 
         # fast path: a store with no lineage has nothing sealed, so every
-        # unit is pending — skip the per-tier anti-join + collect entirely
-        # and keep tier/chunk DataFrames cached instead of reading them
-        # back from parquet.  Cuts the fresh-run action count per tier
-        # from ~4 scans to 2 writes + 1 cached aggregate (bench-relevant:
-        # driver-side job overhead, not data volume, dominates small SFs).
+        # unit is pending — skip the per-tier anti-join + isEmpty probes.
         fresh = not self.io.exists("lineage")
 
+        # Phase 1 — build every pending tier's DataFrame (all lazy, each
+        # persisted for reuse as the next tier's cascade input and for the
+        # batched write below).  On the resume path the cascade input is
+        # (stored fine rows outside fine-pending days) ∪ (freshly computed
+        # fine rows) — storage alone is stale until phase 2 writes land.
+        tier_plans: list[tuple[str, DataFrame]] = []  # (tier, df-with-day)
+        prev_full: DataFrame | None = None  # fine tier covering ALL days
         try:
             for i, tier in enumerate(self.tiers):
                 if fresh:
@@ -154,10 +163,9 @@ class RollupJob:
                 else:
                     pending = self.pending_units(raw, tier, seal_before=seal_before)
                     if pending.isEmpty():
-                        stats[tier] = 0
-                        prev_tier_df = (
-                            self.io.read("tier=" + tier)
-                            if self.io.exists("tier=" + tier)
+                        prev_full = (
+                            self.io.read(f"tiers/tier={tier}")
+                            if self.io.exists(f"tiers/tier={tier}")
                             else None
                         )
                         continue
@@ -174,30 +182,68 @@ class RollupJob:
                     )
                     tier_df = rollup(points, tier)
                 else:
-                    assert prev_tier_df is not None, "cascade input missing"
-                    fine = _prune(prev_tier_df.withColumn("day", _day("window_start")))
+                    assert prev_full is not None, "cascade input missing"
+                    fine = _prune(prev_full)
                     tier_df = cascade(fine.drop("day"), self.tiers[i - 1], tier)
 
                 tier_df = tier_df.withColumn("day", _day("window_start")).persist()
                 cached.append(tier_df)
-                self.io.write_partitioned(tier_df, f"tier={tier}", ["day", "source"])
+                tier_plans.append((tier, tier_df))
 
-                chunks = (
-                    compress_tier(tier_df.drop("day"), tier, chunk_span="1d")
+                if fresh:
+                    prev_full = tier_df
+                else:
+                    fine_pending = pending
+                    stored = (
+                        self.io.read(f"tiers/tier={tier}")
+                        if self.io.exists(f"tiers/tier={tier}")
+                        else None
+                    )
+                    if stored is None:
+                        prev_full = tier_df
+                    else:
+                        stored = stored.join(
+                            F.broadcast(fine_pending), ["source", "day"], "left_anti"
+                        )
+                        prev_full = stored.unionByName(tier_df)
+
+            if not tier_plans:
+                return stats
+
+            # Phase 2 — ONE clustered write for all tier rows and ONE for
+            # all chunks.  partitionBy(tier, day, source) produces the
+            # same tiers/tier=X/day=Y/source=Z layout as per-tier writes,
+            # but collapses 2*T driver-blocking write jobs into 2 — the
+            # dominant fixed cost at bench scale (each partitioned write
+            # costs seconds of commit/listing overhead regardless of size).
+            all_tiers = None
+            all_chunks = None
+            for tier, tdf in tier_plans:
+                t = tdf.withColumn("tier", F.lit(tier))
+                c = (
+                    compress_tier(tdf.drop("day"), tier, chunk_span="1d")
                     .withColumn("day", _day("chunk_start"))
-                    .persist()
+                    .withColumn("tier", F.lit(tier))
                 )
-                cached.append(chunks)
-                self.io.write_partitioned(chunks, f"chunks/tier={tier}", ["day", "source"])
+                all_tiers = t if all_tiers is None else all_tiers.unionByName(t)
+                all_chunks = c if all_chunks is None else all_chunks.unionByName(c)
 
-                # lineage rows from the just-written chunks (small: one per
-                # unit-series); aggregated from cache — the write above is
-                # the durability point, the cache only saves a re-scan
-                lin = (
-                    chunks.groupBy("source", "chunk_start")
-                    .agg(F.count("*").alias("row_count"), F.sum("n_points").alias("point_count"))
-                    .collect()
-                )
+            self.io.write_partitioned(all_tiers, "tiers", ["tier", "day", "source"])
+            all_chunks = all_chunks.persist()
+            cached.append(all_chunks)
+            self.io.write_partitioned(all_chunks, "chunks", ["tier", "day", "source"])
+
+            # Phase 3 — lineage: one aggregate over the cached chunk rows,
+            # appended per tier IN TIER ORDER (a crash between appends
+            # leaves earlier tiers sealed, later ones pending — the same
+            # resume semantics as per-tier writes).
+            lin = (
+                all_chunks.groupBy("tier", "source", "chunk_start")
+                .agg(F.count("*").alias("row_count"), F.sum("n_points").alias("point_count"))
+                .collect()
+            )
+            for tier, _ in tier_plans:
+                rows = [r for r in lin if r["tier"] == tier]
                 self.io.append_lineage(
                     [
                         {
@@ -210,15 +256,10 @@ class RollupJob:
                             "sealed": True,
                             "run_id": run_id,
                         }
-                        for r in lin
+                        for r in rows
                     ]
                 )
-                stats[tier] = len({(r["source"], _day_str(r["chunk_start"])) for r in lin})
-                # cascade input: the cached tier covers every pending unit on
-                # the fast path; on resume, sealed fine-tier days may be
-                # missing from it, so read the full table back (partition-
-                # pruned later by the next tier's pending semi-join)
-                prev_tier_df = tier_df.drop("day") if fresh else self.io.read(f"tier={tier}")
+                stats[tier] = len({(r["source"], _day_str(r["chunk_start"])) for r in rows})
                 if fail_after_tier == tier:
                     raise RuntimeError(f"injected failure after tier {tier}")
         finally:
@@ -248,7 +289,7 @@ class RollupJob:
 
     # ------------------------------------------------------------- reads
     def read_tier(self, tier: str) -> DataFrame:
-        return self.io.read(f"tier={tier}").drop("day")
+        return self.io.read(f"tiers/tier={tier}").drop("day")
 
     def read_tier_from_chunks(self, tier: str) -> DataFrame:
         """Serve a tier by decompressing its Gorilla chunks (the post-

@@ -63,10 +63,25 @@ class ParquetTableIO:
         return Path(self.path(*parts)).exists()
 
     def write_partitioned(
-        self, df: DataFrame, table: str, partition_cols: list[str], overwrite_dynamic: bool = True
+        self,
+        df: DataFrame,
+        table: str,
+        partition_cols: list[str],
+        overwrite_dynamic: bool = True,
+        cluster: bool = True,
     ) -> None:
         """Dynamic partition overwrite: only partitions present in df are
-        replaced — the parquet analog of Iceberg overwritePartitions."""
+        replaced — the parquet analog of Iceberg overwritePartitions.
+
+        cluster=True repartitions by the partition columns first so each
+        output dir gets one file instead of one per upstream task — with
+        T tasks and P dirs the naive write creates up to T*P small files,
+        which dominates wall-clock for tier-sized tables and bloats the
+        file listing every later scan pays for.  (AQE coalesces the
+        repartition shuffle, so this costs one tiny shuffle.)
+        """
+        if cluster:
+            df = df.repartition(*[F.col(c) for c in partition_cols])
         writer = df.write.partitionBy(*partition_cols)
         if overwrite_dynamic:
             writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -103,13 +118,15 @@ class ParquetTableIO:
     def append_lineage(self, rows: list[dict]) -> None:
         if not rows:
             return
-        df = self.spark.createDataFrame(
-            [
-                tuple(r.get(f.name) for f in LINEAGE_SCHEMA.fields)
-                for r in rows
-            ],
-            LINEAGE_SCHEMA,
+        import pandas as pd
+
+        # pandas -> Arrow conversion path: a plain-list createDataFrame
+        # takes the Python-RDD route and spins up a worker per core
+        # (~5s per append measured); Arrow keeps this a sub-second write
+        pdf = pd.DataFrame(
+            {f.name: [r.get(f.name) for r in rows] for f in LINEAGE_SCHEMA.fields}
         )
+        df = self.spark.createDataFrame(pdf, LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path("lineage"))
 
     def read_lineage(self) -> DataFrame:
