@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     cpus = int(os.environ.get("BENCH_CPUS", "32"))
     rows = int(os.environ.get("BENCH_ROWS", "1000000"))
+    # payload cap for big scaling inputs: the measured pipeline prunes
+    # `tokens` out of every scan, so payload bytes only cost ingest
+    # (setup) time; 0/unset = full-length arrays
+    token_cap = int(os.environ.get("BENCH_TOKEN_CAP", "0")) or None
     # default the store to tmpfs: the sandbox's single virtual disk is
     # both slow (~40 MB/s bursts) and shared, which injects minutes of
     # noise; a real cluster's storage bandwidth scales with executors,
@@ -35,16 +39,29 @@ def main() -> None:
     from logtrics_spark.plans.pipeline import RollupJob
     from logtrics_spark.session import get_spark
 
+    extra = {}
+    if store_base == "/dev/shm":
+        # shuffle files + persist spill also go to tmpfs: the sandbox's
+        # virtual disk throughput doesn't scale with cores, executors'
+        # local disks on a real cluster do
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    if os.environ.get("BENCH_AQE", "true").lower() == "false":
+        # AQE re-planning costs ~1-3s per stage — negligible at cluster
+        # scale, but a fixed serial cost that pollutes small-input
+        # scaling studies; the study uses explicit partition counts
+        extra["spark.sql.adaptive.enabled"] = "false"
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark(
         app_name=f"pipeline-bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 8),
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     store = tempfile.mkdtemp(prefix=f"scalebench_{cpus}_", dir=store_base)
     try:
-        tok = gen_tokseq(spark, rows, partitions=max(4 * cpus, 16))
+        tok = gen_tokseq(spark, rows, partitions=max(4 * cpus, 16), token_cap=token_cap)
         job = RollupJob(spark, store, step_seconds=1)
         t0 = time.perf_counter()
         job.ingest_raw(tok)

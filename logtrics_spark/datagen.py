@@ -62,8 +62,16 @@ def _uniform(ids: np.ndarray, stream: int, seed: int = SEED) -> np.ndarray:
     return (_hash_u64(ids, stream, seed) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def gen_batch(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
-    """Generate token-table rows for the given row ids (vectorized)."""
+def gen_batch(ids: np.ndarray, seed: int = SEED, token_cap: int | None = None) -> pd.DataFrame:
+    """Generate token-table rows for the given row ids (vectorized).
+
+    ``token_cap`` caps the materialized token-array length (the payload)
+    while keeping the full ``n_tok`` distribution (the metric value).
+    Correctness tests use the default (len(tokens) == n_tok); large
+    scaling benches cap the payload because the rollup pipeline prunes
+    ``tokens`` out of every scan anyway — payload bytes only cost
+    ingest setup time, not measured work.
+    """
     ids = ids.astype(np.int64)
     # lognormal-ish n_tok in [1, MAX_TOK] via Box-Muller on two hashed uniforms
     u1 = np.clip(_uniform(ids, 1, seed), 1e-12, 1.0)
@@ -76,14 +84,15 @@ def gen_batch(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
     sources = np.array(SOURCES, dtype=object)[src_idx]
 
     # tokens: one hash per (id, position), fully vectorized via repeat/arange
-    total = int(n_tok.sum())
-    row_rep = np.repeat(ids, n_tok)
-    offsets = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
-    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, n_tok)
+    n_len = n_tok if token_cap is None else np.minimum(n_tok, np.int32(token_cap))
+    total = int(n_len.sum())
+    row_rep = np.repeat(ids, n_len)
+    offsets = np.concatenate(([0], np.cumsum(n_len)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, n_len)
     with np.errstate(over="ignore"):
         mixed = row_rep.astype(np.uint64) * np.uint64(1_000_003) + pos.astype(np.uint64)
     flat = (_hash_u64(mixed, 4, seed) % np.uint64(VOCAB)).astype(np.int32)
-    bounds = np.cumsum(n_tok)[:-1]
+    bounds = np.cumsum(n_len)[:-1]
     tokens = np.split(flat, bounds)
 
     return pd.DataFrame(
@@ -101,6 +110,7 @@ def gen_tokseq(
     n_rows: int,
     seed: int = SEED,
     partitions: int | None = None,
+    token_cap: int | None = None,
 ) -> DataFrame:
     """Distributed token table: spark.range -> mapInPandas(gen_batch).
 
@@ -113,7 +123,7 @@ def gen_tokseq(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield gen_batch(pdf["id"].to_numpy(), seed)
+                yield gen_batch(pdf["id"].to_numpy(), seed, token_cap)
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, TOKSEQ_SCHEMA)
 

@@ -8,12 +8,16 @@ Checkpoint/resume semantics (north rule): the unit of progress is a
 
   1. enumerates units present in the raw table,
   2. anti-joins them against the sealed set from the lineage log,
-  3. recomputes ONLY pending units (raw scan is partition-pruned to
-     pending (source, day) pairs via a broadcast semi-join),
-  4. writes tier rows + chunks with dynamic partition overwrite keyed by
-     the seal unit (idempotent: a replayed unit overwrites itself —
-     the pipeline is deterministic),
-  5. appends sealed lineage rows strictly after the data lands.
+  3. recomputes ONLY pending days (raw scan partition-pruned via a
+     broadcast semi-join; a pending day is recomputed for all sources —
+     determinism makes re-materializing sealed sources a byte-level
+     no-op, and day-level granularity keeps tier tables at (tier, day)
+     partitioning: ~sources-times fewer files to commit),
+  4. writes ALL tier rows in one clustered dynamic-overwrite job and all
+     chunks in a second (idempotent: a replayed partition overwrites
+     itself with identical bytes),
+  5. appends sealed lineage rows strictly after the data lands, tier by
+     tier in cascade order.
 
 Kill the job anywhere and rerun: sealed units are skipped, unsealed
 units are recomputed onto the same partitions, and the final tables are
@@ -152,31 +156,48 @@ class RollupJob:
         # batched write below).  On the resume path the cascade input is
         # (stored fine rows outside fine-pending days) ∪ (freshly computed
         # fine rows) — storage alone is stale until phase 2 writes land.
-        tier_plans: list[tuple[str, DataFrame]] = []  # (tier, df-with-day)
+        # Recompute granularity is the DAY: when any (source, day) unit is
+        # pending, the whole day is recomputed for that tier (deterministic
+        # pipeline -> already-sealed sources overwrite with identical
+        # bytes).  This lets tier/chunk tables partition by (tier, day)
+        # instead of (tier, day, source) — 8x fewer files to commit, and
+        # the day-level dynamic overwrite stays exactly unit-aligned.
+        tier_plans: list[tuple[str, DataFrame, set | None]] = []
         prev_full: DataFrame | None = None  # fine tier covering ALL days
         try:
             for i, tier in enumerate(self.tiers):
                 if fresh:
-                    pending = None
+                    pending_set = None
+                    pending_days = None
                     if seal_before is not None:
-                        pending = self._all_units(raw).where(F.col("day") < seal_before)
+                        pending_days = (
+                            self._all_units(raw)
+                            .where(F.col("day") < seal_before)
+                            .select("day")
+                            .distinct()
+                        )
                 else:
                     pending = self.pending_units(raw, tier, seal_before=seal_before)
-                    if pending.isEmpty():
+                    pending_list = [(r["source"], r["day"]) for r in pending.collect()]
+                    if not pending_list:
                         prev_full = (
                             self.io.read(f"tiers/tier={tier}")
                             if self.io.exists(f"tiers/tier={tier}")
                             else None
                         )
                         continue
+                    pending_set = set(pending_list)
+                    pending_days = self.spark.createDataFrame(
+                        [(d,) for d in sorted({d for _, d in pending_list})], "day string"
+                    )
 
                 def _prune(df: DataFrame) -> DataFrame:
-                    if pending is None:
+                    if pending_days is None:
                         return df
-                    return df.join(F.broadcast(pending), ["source", "day"], "left_semi")
+                    return df.join(F.broadcast(pending_days), ["day"], "left_semi")
 
                 if i == 0:
-                    # partition-pruned scan: only pending (source, day) pairs
+                    # partition-pruned scan: only pending days
                     points = extract_points(
                         _prune(raw), per_source=self.per_source_ts, step_seconds=self.step_seconds
                     )
@@ -188,12 +209,11 @@ class RollupJob:
 
                 tier_df = tier_df.withColumn("day", _day("window_start")).persist()
                 cached.append(tier_df)
-                tier_plans.append((tier, tier_df))
+                tier_plans.append((tier, tier_df, pending_set))
 
-                if fresh:
+                if fresh or pending_days is None:
                     prev_full = tier_df
                 else:
-                    fine_pending = pending
                     stored = (
                         self.io.read(f"tiers/tier={tier}")
                         if self.io.exists(f"tiers/tier={tier}")
@@ -202,23 +222,22 @@ class RollupJob:
                     if stored is None:
                         prev_full = tier_df
                     else:
-                        stored = stored.join(
-                            F.broadcast(fine_pending), ["source", "day"], "left_anti"
-                        )
+                        stored = stored.join(F.broadcast(pending_days), ["day"], "left_anti")
                         prev_full = stored.unionByName(tier_df)
 
             if not tier_plans:
                 return stats
 
             # Phase 2 — ONE clustered write for all tier rows and ONE for
-            # all chunks.  partitionBy(tier, day, source) produces the
-            # same tiers/tier=X/day=Y/source=Z layout as per-tier writes,
-            # but collapses 2*T driver-blocking write jobs into 2 — the
-            # dominant fixed cost at bench scale (each partitioned write
-            # costs seconds of commit/listing overhead regardless of size).
+            # all chunks.  partitionBy(tier, day) produces the
+            # tiers/tier=X/day=Y layout (source stays a data column), and
+            # collapses 2*T driver-blocking write jobs into 2 — each
+            # partitioned write costs seconds of commit/listing overhead
+            # regardless of size, and T*days*sources file commits were the
+            # measured bottleneck at bench scale.
             all_tiers = None
             all_chunks = None
-            for tier, tdf in tier_plans:
+            for tier, tdf, _pset in tier_plans:
                 t = tdf.withColumn("tier", F.lit(tier))
                 c = (
                     compress_tier(tdf.drop("day"), tier, chunk_span="1d")
@@ -228,10 +247,10 @@ class RollupJob:
                 all_tiers = t if all_tiers is None else all_tiers.unionByName(t)
                 all_chunks = c if all_chunks is None else all_chunks.unionByName(c)
 
-            self.io.write_partitioned(all_tiers, "tiers", ["tier", "day", "source"])
+            self.io.write_partitioned(all_tiers, "tiers", ["tier", "day"])
             all_chunks = all_chunks.persist()
             cached.append(all_chunks)
-            self.io.write_partitioned(all_chunks, "chunks", ["tier", "day", "source"])
+            self.io.write_partitioned(all_chunks, "chunks", ["tier", "day"])
 
             # Phase 3 — lineage: one aggregate over the cached chunk rows,
             # appended per tier IN TIER ORDER (a crash between appends
@@ -242,8 +261,14 @@ class RollupJob:
                 .agg(F.count("*").alias("row_count"), F.sum("n_points").alias("point_count"))
                 .collect()
             )
-            for tier, _ in tier_plans:
+            for tier, _tdf, pset in tier_plans:
                 rows = [r for r in lin if r["tier"] == tier]
+                if pset is not None:
+                    # whole-day recompute may cover already-sealed sources
+                    # of that day — seal only the actually-pending units
+                    rows = [
+                        r for r in rows if (r["source"], _day_str(r["chunk_start"])) in pset
+                    ]
                 self.io.append_lineage(
                     [
                         {

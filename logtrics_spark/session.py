@@ -56,6 +56,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # keep partition columns as written (day stays 'yyyy-MM-dd' string
+        # everywhere) — inference turning day into DATE made every
+        # pruning join cast and broke seal-unit set comparisons
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # Classic (non-ANSI) semantics: failed casts -> null, matching the
         # reference's forgiving ToInt64 coercion (non-numeric -> 0 after
         # coalesce) instead of task-killing exceptions mid-pipeline.
