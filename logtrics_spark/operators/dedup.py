@@ -47,13 +47,58 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def _shingles(text_col: str, k: int = 5):
-    """Word k-shingles as an array column (lowercased, whitespace-split)."""
+    """Word k-shingles as an array column (lowercased, whitespace-split).
+
+    NOTE: array-HOF construction is interpreted (not codegen) — ~32us
+    per shingle measured.  Fine for per-doc use (ngram_jaccard on
+    candidate pairs); corpus-wide signature computation uses the
+    codegen'd ``_shingle_rows`` instead.
+    """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))).otherwise(
         F.array(F.array_join(words, " "))
     )
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, sh) — one row per word k-shingle, fully whole-stage-codegen.
+
+    posexplode the words, then each shingle is concat_ws of the word and
+    its k-1 leads within the doc (window per doc).  Docs shorter than k
+    words yield one partial shingle (concat_ws skips null leads),
+    matching ``_shingles``.
+    """
+    from pyspark.sql import Window
+
+    df = _ensure_parallel(df, id_col)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).alias("n"),
+        F.posexplode(words).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    sh = F.concat_ws(" ", "w", *[F.lead("w", j).over(win) for j in range(1, k)])
+    return exploded.withColumn("sh", sh).where(
+        F.col("pos") <= F.greatest(F.col("n") - k, F.lit(0))
+    ).select("id", "sh")
+
+
+def _ensure_parallel(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread a narrow input across the cluster before explode-heavy work.
+
+    A small corpus read from one parquet file is one partition; the
+    explode fans each input row out ~50x, so the work must be spread
+    BEFORE the generator or a single task does everything.  No-op when
+    the input already has enough partitions (the at-scale case — never
+    force a full shuffle of a wide corpus).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
 
 
 # ------------------------------------------------------------ minhash
@@ -73,18 +118,18 @@ def minhash_signature(
     would shuffle shingles, so instead we aggregate the min INSIDE the
     row via array HOFs — zero shuffle for signature computation.
     """
-    sh = _shingles(text_col, shingle_k).alias("sh")
-
-    # NB: the seed must be captured via a closure factory, NOT a default
-    # arg — pyspark binds a lambda's full parameter list as HOF variables,
-    # so `lambda s, i=i:` would silently receive the array index as i.
-    def _hashed(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("sh"), _hashed(i))) for i in range(num_hashes)]
-    ).alias("sig")
-    return df.select(F.col(id_col).alias("id"), sh).select("id", sig)
+    # shingle rows + groupBy(min x num_hashes): whole-stage-codegen end
+    # to end with map-side partial aggregation, so the shuffle carries
+    # one row per doc per task.  (Array-HOF formulations — per-seed
+    # array_min(transform(...)) or a single aggregate fold — drop out of
+    # codegen into the interpreted evaluator: 8-17s for 5k docs vs
+    # <1s for this shape.)
+    exploded = _shingle_rows(df, text_col, id_col, shingle_k)
+    mins = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    return mins.select("id", sig)
 
 
 def minhash_lsh_dupes(
@@ -176,23 +221,28 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     per-bit vote aggregation via transform+aggregate.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashes = F.transform(words, lambda w: F.xxhash64(w)).alias("hs")
-    base = df.select(F.col(id_col).alias("id"), hashes)
-
-    # votes[b] = sum(+-1); simhash bit b set iff votes[b] > 0.  Closure
-    # factory for the same reason as minhash_signature: a default-arg
-    # lambda would be bound as a 3-variable HOF lambda by pyspark.
-    def _vote(b: int):
-        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    votes = [F.aggregate("hs", F.lit(0).cast("long"), _vote(b)) for b in range(64)]
+    # explode words -> per-bit +-1 vote sums via groupBy (codegen +
+    # map-side combine; see minhash_signature for why not array HOFs)
+    df = _ensure_parallel(df, id_col)
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(words).alias("w")
+    ).select("id", F.xxhash64("w").alias("h"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
     sim = None
-    for b, v in enumerate(votes):
-        bitval = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(64):
+        bitval = (
+            F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         # shiftleft (not *2**b): bit 63 must wrap into the long sign bit
         term = F.shiftleft(bitval, b)
         sim = term if sim is None else sim.bitwiseOR(term)
-    return base.select("id", sim.alias("simhash"))
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_dupes(
