@@ -225,6 +225,41 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_quality_score(spark, sf_dir):
+    from logtrics_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", _q(quality_score("text"), 6).alias("quality"))
+
+
+def q_meter_ewma_1h(spark, sf_dir):
+    """go-metrics meter EWMA rates — sequential fold, rows-only check
+    (the exact recurrence is pinned by tests/test_streaming_ewma.py)."""
+    from logtrics_spark.operators.ewma import meter_ewma
+    from logtrics_spark.operators.rollup import rollup
+
+    pts = _events_points(spark, sf_dir).withColumn("kind", F.lit("meter"))
+    r = rollup(pts, "1h")
+    e = meter_ewma(r, "1h")
+    return e.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt",
+        _q("rate_m5", 6).alias("rate_m5"),
+        _q("rate_m15", 6).alias("rate_m15"),
+    )
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF ANN — approximate by construction, rows-only check (recall
+    vs the exact baseline is pinned by tests/test_trainops.py)."""
+    from logtrics_spark.operators.similarity import ivf_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = ivf_topk(embs, embs.where("vec_id < 5"), k=5, n_centroids=8, nprobe=4)
+    return got.select("query_id", "id", _q("cosine", 4).alias("cosine"), "rank")
+
+
 def q_lang_id(spark, sf_dir):
     from logtrics_spark.operators.text import language_id
 
@@ -361,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_regex": q_extract_regex,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "meter_ewma_1h": q_meter_ewma_1h,
+        "similarity_ivf": q_similarity_ivf,
         "lang_id": q_lang_id,
         "similarity_topk": q_similarity_topk,
         "embedding_norms": q_embedding_norms,
@@ -471,6 +509,26 @@ def oracle_sql() -> dict[str, str]:
                        (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
                        / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS punct_ratio
             FROM documents
+        """,
+        "quality_score": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     least(length(text) / 500.0, 1.0) AS len_score,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct,
+                     len(regexp_extract_all(text,
+                       '(?i)\b(the|and|of|to|in|is|that|for|with)\b')) AS hits,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS toks
+              FROM documents)
+            SELECT doc_id,
+                   floor((len_score * 0.4
+                          + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+                          + least(CASE WHEN toks > 0
+                                       THEN hits / CAST(toks AS DOUBLE) ELSE 0.0 END * 3.0,
+                                  1.0) * 0.3) * 1000000.0 + 0.5 + 1e-6) / 1000000.0
+                     AS quality
+            FROM f
         """,
         "lang_id": r"""
             WITH h AS (
