@@ -260,6 +260,27 @@ def q_similarity_ivf(spark, sf_dir):
     return got.select("query_id", "id", _q("cosine", 4).alias("cosine"), "rank")
 
 
+def q_asof_gauge(spark, sf_dir):
+    """As-of join: each event gets the gauge-last of the most recent
+    closed hourly window at or before its timestamp."""
+    from logtrics_spark.operators.asof import asof_join
+    from logtrics_spark.operators.rollup import rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("event_type").alias("source"), "ts"
+    )
+    hourly = rollup(_events_points(spark, sf_dir), "1h").select(
+        "source", F.col("window_start").alias("ts"), F.col("last").alias("gauge")
+    )
+    joined = asof_join(ev, hourly, by=["source"], value_cols=["gauge"])
+    return joined.select(
+        "event_id",
+        "source",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+        _q("gauge_asof", 4).alias("gauge_asof"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from logtrics_spark.operators.text import language_id
 
@@ -399,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "meter_ewma_1h": q_meter_ewma_1h,
         "similarity_ivf": q_similarity_ivf,
+        "asof_gauge": q_asof_gauge,
         "lang_id": q_lang_id,
         "similarity_topk": q_similarity_topk,
         "embedding_norms": q_embedding_norms,
@@ -529,6 +551,18 @@ def oracle_sql() -> dict[str, str]:
                                   1.0) * 0.3) * 1000000.0 + 0.5 + 1e-6) / 1000000.0
                      AS quality
             FROM f
+        """,
+        "asof_gauge": """
+            WITH hourly AS (
+              SELECT event_type AS source,
+                     to_timestamp(floor(extract(epoch FROM ts)/3600)*3600) AS hts,
+                     arg_max(value, ts) AS gauge
+              FROM events GROUP BY 1, 2)
+            SELECT e.event_id, e.event_type AS source,
+                   CAST(floor(extract(epoch FROM e.ts)) AS BIGINT) AS es,
+                   floor(h.gauge * 10000.0 + 0.5 + 1e-6) / 10000.0 AS gauge_asof
+            FROM events e ASOF LEFT JOIN hourly h
+              ON e.event_type = h.source AND e.ts >= h.hts
         """,
         "lang_id": r"""
             WITH h AS (
