@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 
 TIER_SECS = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400}
 
+# Side-channel parquet dumps shared between a queries() entry and its
+# DuckDB oracle (written by the query, read by the SQL via read_parquet).
+TOKSEQ_DUMP = "/tmp/spark_graft_tokseq_points"
+
 
 def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> the engine's point schema (source, metric, kind, ts, value)."""
@@ -233,8 +237,10 @@ def q_quality_score(spark, sf_dir):
 
 
 def q_meter_ewma_1h(spark, sf_dir):
-    """go-metrics meter EWMA rates — sequential fold, rows-only check
-    (the exact recurrence is pinned by tests/test_streaming_ewma.py)."""
+    """go-metrics meter EWMA rates — the sequential per-series fold,
+    oracled by a DuckDB recursive CTE running the same recurrence
+    (alphas injected as identical Python-computed literals on both
+    sides so libm exp() differences can't skew the hash)."""
     from logtrics_spark.operators.ewma import meter_ewma
     from logtrics_spark.operators.rollup import rollup
 
@@ -251,12 +257,15 @@ def q_meter_ewma_1h(spark, sf_dir):
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF ANN — approximate by construction, rows-only check (recall
-    vs the exact baseline is pinned by tests/test_trainops.py)."""
+    """IVF ANN with nprobe == n_centroids: every query probes every
+    inverted list, so the result degenerates to the exact top-k and the
+    brute-force SQL oracle applies (the full IVF machinery — centroid
+    training, assignment, probe join — still executes).  Approximate
+    recall at nprobe < C is pinned by tests/test_trainops.py."""
     from logtrics_spark.operators.similarity import ivf_topk
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    got = ivf_topk(embs, embs.where("vec_id < 5"), k=5, n_centroids=8, nprobe=4)
+    got = ivf_topk(embs, embs.where("vec_id < 5"), k=5, n_centroids=8, nprobe=8)
     return got.select("query_id", "id", _q("cosine", 4).alias("cosine"), "rank")
 
 
@@ -312,47 +321,84 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    from logtrics_spark.operators.dedup import minhash_lsh_dupes
+    """MinHash-LSH candidates verified by exact 5-shingle Jaccard.
+
+    The final pair set = {pairs with exact jaccard >= 0.6}, which DuckDB
+    computes by brute force — so the oracle checks LSH *recall*, not just
+    plumbing.  32 bands x 2 rows makes the per-pair miss probability at
+    s >= 0.8 about 1e-14 (documents' true near-dups all sit at
+    jaccard >= 0.875 with nothing in (0.2, 0.87)), and the hash family
+    is a fixed seeded xxhash64, so the result is deterministic.
+    """
+    from logtrics_spark.operators.dedup import minhash_lsh_dupes, ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    near = (
-        docs.limit(20)
-        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
+    cand = minhash_lsh_dupes(docs, num_hashes=64, bands=32)
+    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5)
+    return ver.where(F.col("jaccard") >= 0.6).select(
+        "id_a", "id_b", _q("jaccard", 4).alias("jaccard")
     )
-    return minhash_lsh_dupes(docs.unionByName(near), threshold=0.5)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    from logtrics_spark.operators.dedup import simhash_dupes
+    """SimHash band-join candidates (8x8-bit bands: guaranteed recall up
+    to hamming 7) filtered to hamming <= 7 — the filter now matches the
+    band guarantee — then verified by exact 5-shingle Jaccard.  Same
+    brute-force DuckDB oracle as minhash_pairs: equality requires every
+    true near-dup pair to surface through the simhash path (measured:
+    all jaccard>=0.875 pairs sit at hamming <= 5)."""
+    from logtrics_spark.operators.dedup import ngram_jaccard_pairs, simhash_dupes
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    near = (
-        docs.limit(20)
-        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    cand = simhash_dupes(docs, band_bits=8).where("hamming <= 7")
+    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5)
+    return ver.where(F.col("jaccard") >= 0.6).select(
+        "id_a", "id_b", _q("jaccard", 4).alias("jaccard")
     )
-    return simhash_dupes(docs.unionByName(near)).where("hamming <= 8")
 
 
 def q_tokseq_tiers(spark, sf_dir):
-    """Flagship token pipeline: synth table -> extract -> 1m -> 1h."""
+    """Flagship token pipeline: synth table -> extract -> 1m -> 1h.
+
+    The extracted point table is dumped to parquet (timestamps as epoch
+    BIGINT — no tz/encoding round-trip) and both engines consume that
+    same dump: Spark runs the 1m->5m->1h cascade over it, DuckDB rolls
+    1h directly; equality is the cascade-associativity property checked
+    end-to-end through real parquet.
+    """
     from logtrics_spark.datagen import gen_tokseq
     from logtrics_spark.operators.extract import extract_points
     from logtrics_spark.operators.rollup import cascade, rollup
 
     tok = gen_tokseq(spark, 20_000, partitions=8)
-    r1m = rollup(extract_points(tok, step_seconds=5), "1m")
+    pts = extract_points(tok, step_seconds=5)
+    (
+        pts.select(
+            "source", "metric", "kind",
+            F.unix_timestamp("ts").cast("long").alias("es"), "value",
+        )
+        .write.mode("overwrite")
+        .parquet(TOKSEQ_DUMP)
+    )
+    back = spark.read.parquet(TOKSEQ_DUMP).select(
+        "source", "metric", "kind",
+        F.timestamp_seconds("es").alias("ts"), "value",
+    )
+    r1m = rollup(back, "1m")
     return cascade(cascade(r1m, "1m", "5m"), "5m", "1h").select(
         "source", "metric", "kind",
         F.unix_timestamp("window_start").cast("long").alias("ws"),
         "cnt", "sum", "min", "max",
-        F.round("avg", 6).alias("avg"), "last",
+        _q("avg", 6).alias("avg"), "last",
     )
 
 
 def q_gorilla_roundtrip(spark, sf_dir):
-    """Compress events 1m tier to Gorilla chunks, decompress back."""
+    """Compress events 1m tier to Gorilla chunks, decompress back.
+
+    The decompressed output IS the 1m rollup (bit-identical round-trip),
+    so the plain rollup SQL is its oracle — a hash mismatch here means
+    the codec corrupted a value."""
     from logtrics_spark.operators.gorilla import compress_tier, decompress_chunks
     from logtrics_spark.operators.rollup import rollup
 
@@ -368,10 +414,17 @@ def q_gorilla_roundtrip(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the Arrow decode stage.
+
+    The fake-decoder feature vector is computed inside mapInPandas (the
+    real seam) but only the deterministic metadata columns are emitted —
+    gen_media's payload sizes are closed-form in the row index, so the
+    oracle rebuilds them with generate_series.  Feature-vector shape and
+    determinism are pinned by tests/test_trainops.py."""
     from logtrics_spark.operators.multimodal import extract_features, gen_media
 
     return extract_features(gen_media(spark, 200), dim=8).select(
-        "media_id", "modality", "n_bytes", _q(F.element_at("feature", 1), 4).alias("f0")
+        "media_id", "modality", "n_bytes"
     )
 
 
@@ -597,5 +650,115 @@ def oracle_sql() -> dict[str, str]:
                          x -> x * x)))) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS norm
             FROM embeddings
         """,
+        # Gorilla round-trip is bit-identical, so the decompressed tier
+        # equals the straight 1m rollup (narrowed to the emitted columns).
+        "gorilla_roundtrip": """
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/60)*60 AS BIGINT) AS ws,
+                   count(*) AS cnt,
+                   floor((sum(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS sum_val,
+                   floor((avg(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_val
+            FROM events GROUP BY 1, 2
+        """,
+        # EWMA recurrence replayed by a recursive CTE; alpha literals are
+        # computed once in Python (identical on the Spark side) so the
+        # two engines' exp() implementations can't diverge.
+        "meter_ewma_1h": _ewma_sql(),
+        # Brute-force exact 5-shingle Jaccard over all doc pairs — the
+        # ground truth both LSH paths must fully recover (recall check).
+        "minhash_pairs": _pairs_jaccard_sql(),
+        "simhash_pairs": _pairs_jaccard_sql(),
+        # Direct 1h rollup over the dumped point table (the Spark side
+        # cascades 1m->5m->1h over the same dump; associativity).
+        "tokseq_tiers": f"""
+            SELECT source, metric, kind,
+                   CAST(floor(es/3600)*3600 AS BIGINT) AS ws,
+                   count(*) AS cnt, sum(value) AS sum,
+                   min(value) AS min, max(value) AS max,
+                   floor((avg(value)) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS avg,
+                   arg_max(value, es) AS last
+            FROM read_parquet('{TOKSEQ_DUMP}/*.parquet')
+            GROUP BY 1, 2, 3, 4
+        """,
+        # nprobe == n_centroids -> IVF degenerates to the exact top-k.
+        "similarity_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qv AS DOUBLE[])) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, id, floor(cos * 10000.0 + 0.5 + 1e-6) / 10000.0 AS cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+              FROM scored)
+            SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 5
+        """,
+        # gen_media's metadata is closed-form in the row index
+        # (logtrics_spark/operators/multimodal.py:gen_media).
+        "multimodal_features": """
+            SELECT printf('media%06d', i) AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CAST(64 + (i % 5) * 32 AS BIGINT) AS n_bytes
+            FROM generate_series(0, 199) t(i)
+        """,
     }
     return sqls
+
+
+def _pairs_jaccard_sql(threshold: float = 0.6, k: int = 5) -> str:
+    """All-pairs exact word-k-shingle Jaccard (mirrors dedup._shingles:
+    lowercase, whitespace-split, distinct shingles; short docs collapse
+    to one whole-doc shingle)."""
+    return rf"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(words) >= {k} THEN
+              list_distinct(list_transform(range(1, len(words) - {k - 2}),
+                            i -> array_to_string(words[i:i+{k - 1}], ' ')))
+            ELSE [array_to_string(words, ' ')] END AS grams
+          FROM w),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.grams, b.grams)) * 1.0
+                   / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               floor(j * 10000.0 + 0.5 + 1e-6) / 10000.0 AS jaccard
+        FROM p WHERE j >= {threshold}
+    """
+
+
+def _ewma_sql(tier_secs: int = 3600) -> str:
+    """Recursive-CTE twin of operators/ewma.py::ewma_oracle for 1h windows."""
+    import math
+
+    a5 = 1.0 - math.exp(-tier_secs / (5 * 60.0))
+    a15 = 1.0 - math.exp(-tier_secs / (15 * 60.0))
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT event_type AS source,
+                 CAST(floor(extract(epoch FROM ts)/{tier_secs})*{tier_secs} AS BIGINT) AS ws,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        seq AS (
+          SELECT source, ws, cnt, cnt / {tier_secs}.0 AS inst,
+                 row_number() OVER (PARTITION BY source ORDER BY ws) AS rn
+          FROM base),
+        rec AS (
+          SELECT source, ws, cnt, inst, rn, inst AS m5, inst AS m15
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.source, s.ws, s.cnt, s.inst, s.rn,
+                 {a5!r} * s.inst + (1 - {a5!r}) * r.m5,
+                 {a15!r} * s.inst + (1 - {a15!r}) * r.m15
+          FROM seq s JOIN rec r ON s.source = r.source AND s.rn = r.rn + 1)
+        SELECT source, ws, cnt,
+               floor(m5 * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS rate_m5,
+               floor(m15 * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS rate_m15
+        FROM rec
+    """

@@ -92,11 +92,21 @@ def _ensure_parallel(df: DataFrame, id_col: str) -> DataFrame:
     A small corpus read from one parquet file is one partition; the
     explode fans each input row out ~50x, so the work must be spread
     BEFORE the generator or a single task does everything.  No-op when
-    the input already has enough partitions (the at-scale case — never
+    the input already spans enough files (the at-scale case — never
     force a full shuffle of a wide corpus).
+
+    The heuristic reads ``inputFiles()`` (catalog metadata, no plan
+    materialization — ``df.rdd.getNumPartitions()`` would force an
+    RDD conversion of the whole analyzed plan on every signature call).
+    Non-file-backed inputs report zero files and get spread, which is
+    right: they're locally-synthesized test frames.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target, F.col(id_col))
     return df
 
@@ -246,15 +256,30 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_dupes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 8
 ) -> DataFrame:
-    """Candidate pairs whose simhashes share all 4 16-bit bands minus one
-    (i.e. Hamming distance concentrated in one band) — the classic
-    band-split trick: split 64 bits into 4 bands; near-dups (hamming<=3)
-    must agree exactly on at least one band; join per band.
+    """Candidate near-dup pairs via the band-split trick on 64-bit
+    simhashes: with B = 64/band_bits bands, any pair at Hamming distance
+    <= B-1 must agree exactly on at least one band (pigeonhole), so the
+    per-band equi-join is guaranteed-recall up to that radius.  The
+    default 8 bands of 8 bits covers hamming <= 7; pass band_bits=16 for
+    a cheaper join that only guarantees hamming <= 3.  Downstream
+    filters must not exceed the band guarantee (the round-1 bug: a
+    hamming<=8 filter over 4x16-bit bands silently lost pairs with 4-8
+    differing bits spread across bands).
     Output: (id_a, id_b, hamming).
     """
-    sims = simhash64(df, text_col, id_col)
+    return simhash_band_pairs(simhash64(df, text_col, id_col), band_bits)
+
+
+def simhash_band_pairs(sims: DataFrame, band_bits: int = 8) -> DataFrame:
+    """(id, simhash) -> candidate pairs agreeing on >=1 band.
+
+    Split out from ``simhash_dupes`` so the pigeonhole guarantee is
+    directly testable on crafted simhash values (tests/test_trainops.py).
+    """
+    if 64 % band_bits:
+        raise ValueError("band_bits must divide 64")
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sims.select(

@@ -82,6 +82,34 @@ def test_simhash_near_dupes(spark, docs):
     assert same.where("hamming = 0").count() >= 2
 
 
+def test_simhash_band_guarantee(spark):
+    """Pigeonhole recall: B bands of 64/B bits find every pair at
+    hamming <= B-1 — checked on crafted simhash values where the
+    differing bits are spread adversarially, one per band."""
+    from logtrics_spark.operators.dedup import simhash_band_pairs
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = [(0, base)]
+    # doc i differs from base in exactly i bits, each in a DIFFERENT
+    # 8-bit band (bit j*8 for j < i) — worst case for banding
+    for i in range(1, 9):
+        v = base
+        for j in range(i):
+            v ^= 1 << (j * 8)
+        rows.append((i, v))
+    sims = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "simhash"]))
+    got = simhash_band_pairs(sims, band_bits=8).where("id_a = 0").toPandas()
+    found = set(got["id_b"])
+    # hamming 1..7 must all be candidates; hamming 8 (one flip in every
+    # band) must NOT collide with base on any band
+    assert {1, 2, 3, 4, 5, 6, 7} <= found
+    assert 8 not in found
+    assert (got.set_index("id_b")["hamming"].loc[list(range(1, 8))] == range(1, 8)).all()
+    # 16-bit bands only guarantee hamming <= 3 on this adversarial layout
+    got16 = simhash_band_pairs(sims, band_bits=16).where("id_a = 0").toPandas()
+    assert {1, 2, 3} <= set(got16["id_b"])
+
+
 def test_embedding_cosine_dupes(spark, embs):
     from logtrics_spark.operators.dedup import embedding_cosine_dupes
 
