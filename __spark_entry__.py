@@ -307,6 +307,37 @@ def q_similarity_topk(spark, sf_dir):
     )
 
 
+def q_embedding_dupes(spark, sf_dir):
+    """Banded random-hyperplane LSH near-dup detection, oracled by
+    brute-force cosine.  The corpus has no natural near-dups (all pairs
+    < 0.7), so 25 are planted with a deterministic elementwise
+    perturbation that DuckDB reconstructs with the same closed form —
+    hash equality therefore proves both full recall of the planted
+    pairs through the LSH path and zero false positives."""
+    from logtrics_spark.operators.dedup import embedding_cosine_dupes
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = embs.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # NB: perturb FIRST, rename after — Spark 4 lateral column aliases
+    # would otherwise bind the lambda's vec_id to a `... AS vec_id`
+    # appearing earlier in the same select list.
+    pert = (
+        base.where("vec_id < 25")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x * (1.0 + 0.25 * F.sin((i + 1) * (F.col("vec_id") + 1))),
+            ).alias("embedding"),
+        )
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    out = embedding_cosine_dupes(base.unionByName(pert), threshold=0.9)
+    return out.select("id_a", "id_b", _q("cosine", 4).alias("cosine"))
+
+
 def q_embedding_norms(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dot = F.aggregate(
@@ -477,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "similarity_topk": q_similarity_topk,
         "embedding_norms": q_embedding_norms,
+        "embedding_dupes": q_embedding_dupes,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "tokseq_tiers": q_tokseq_tiers,
@@ -649,6 +681,24 @@ def oracle_sql() -> dict[str, str]:
                    floor((sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                          x -> x * x)))) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS norm
             FROM embeddings
+        """,
+        # Brute-force cosine over the same deterministically-perturbed
+        # union the Spark side builds (see q_embedding_dupes).
+        "embedding_dupes": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            pl AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * (1 + 0.25 * sin(i * (vec_id + 1)))) AS v
+              FROM e WHERE vec_id < 25),
+            u AS (SELECT * FROM e UNION ALL SELECT * FROM pl),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(a.v, b.v) AS c
+              FROM u a JOIN u b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b,
+                   floor(c * 10000.0 + 0.5 + 1e-6) / 10000.0 AS cosine
+            FROM p WHERE c >= 0.9
         """,
         # Gorilla round-trip is bit-identical, so the decompressed tier
         # equals the straight 1m rollup (narrowed to the emitted columns).

@@ -113,12 +113,49 @@ def test_simhash_band_guarantee(spark):
 def test_embedding_cosine_dupes(spark, embs):
     from logtrics_spark.operators.dedup import embedding_cosine_dupes
 
-    # plant: one exact copy of vec 0
+    # plant: one exact copy of vec 0 (identical vector -> identical LSH
+    # signature -> guaranteed candidate at any banding)
     copy = embs.limit(1).withColumn("vec_id", F.lit(999999).cast("long"))
     both = embs.unionByName(copy)
-    pairs = embedding_cosine_dupes(both, threshold=0.99, bucket_dims=4).toPandas()
+    pairs = embedding_cosine_dupes(both, threshold=0.99).toPandas()
     assert ((pairs.id_a == 0) & (pairs.id_b == 999999)).any()
     assert np.isclose(pairs[(pairs.id_b == 999999)]["cosine"].iloc[0], 1.0)
+
+
+def test_embedding_lsh_recall_and_plan(spark):
+    """Banded hyperplane LSH: >=0.95 recall on planted near-dups at
+    threshold 0.9, and the candidate join is keyed on (band, bucket) —
+    never a cartesian/nested-loop all-pairs plan."""
+    import pandas as pd
+
+    from logtrics_spark.operators.dedup import embedding_cosine_dupes
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_planted = 64, 200, 40
+    base = rng.standard_normal((n_base, dim))
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(n_base)]
+    # planted near-dups: controlled perturbation -> cosine in ~[0.92, 0.99]
+    expected = []
+    for j in range(n_planted):
+        eps = 0.15 + 0.25 * rng.random()
+        noisy = base[j] + eps * rng.standard_normal(dim)
+        c = float(base[j] @ noisy / (np.linalg.norm(base[j]) * np.linalg.norm(noisy)))
+        if c >= 0.91:  # keep only pairs safely above the 0.9 threshold
+            rows.append((10_000 + j, noisy.astype(np.float32).tolist()))
+            expected.append((j, 10_000 + j))
+    assert len(expected) >= 25
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    out = embedding_cosine_dupes(df, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    recall = sum(1 for p in expected if p in got) / len(expected)
+    assert recall >= 0.95, f"recall {recall} over {len(expected)} planted pairs"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bucket" in plan
 
 
 # ------------------------------------------------------------- similarity
