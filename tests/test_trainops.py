@@ -192,6 +192,36 @@ def test_ivf_topk_recall(spark, embs):
     assert hits / 50 >= 0.6, hits
 
 
+def test_ivf_assignment_scales_to_many_centroids(spark):
+    """C=256 / dim=64: assignment must be one pandas_udf (numpy matmul
+    per batch), never O(C*dim) Catalyst literal nodes — the plan stays
+    small at index sizes where the round-1 literal form blew up."""
+    import pandas as pd
+
+    from logtrics_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((16, 64)) * 5.0
+    rows = [
+        (i, (centers[i % 16] + 0.3 * rng.standard_normal(64)).astype(np.float32).tolist())
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    queries = df.where("vec_id < 8")
+    exact = cosine_topk(df, queries, k=5).toPandas()
+    approx = ivf_topk(df, queries, k=5, n_centroids=256, nprobe=64)
+    # the whole plan (centroid assignment included) must stay compact:
+    # 256 centroids x 64 dims as literals would be >1 MB of plan text
+    assert len(approx._jdf.queryExecution().analyzed().toString()) < 100_000
+    apdf = approx.toPandas()
+    hits = 0
+    for qid in range(8):
+        e = set(exact[exact.query_id == qid]["id"])
+        a = set(apdf[apdf.query_id == qid]["id"])
+        hits += len(e & a)
+    assert hits / 40 >= 0.7, hits
+
+
 # ------------------------------------------------------------------ text
 def test_text_profile_columns(spark, docs):
     from logtrics_spark.operators.text import text_profile
