@@ -49,6 +49,11 @@ def rollup_stream(
             F.sum("value").alias("sum"),
             F.min("value").alias("min"),
             F.max("value").alias("max"),
+            # gauge-last composes in streaming state too (max_by partials
+            # merge), keeping the emitted schema identical to the batch
+            # rollup so the tier tables are genuinely interchangeable
+            F.max_by("value", ts_col).alias("last"),
+            F.max(ts_col).alias("last_ts"),
         )
     )
     return agg.select(
@@ -59,6 +64,8 @@ def rollup_stream(
         "min",
         "max",
         (F.col("sum") / F.col("cnt")).alias("avg"),
+        "last",
+        "last_ts",
         (F.col("cnt").cast("double") / F.lit(float(secs))).alias("rate"),
     )
 
@@ -73,6 +80,22 @@ def write_tier_stream(
 ):
     """Start the sink: foreachBatch appends into the batch store layout.
 
+    Layout parity: rows carry ``tier`` as a literal column and land via
+    the IDENTICAL ``["tier", "day"]`` partition spec the batch pipeline
+    uses (plans/pipeline.py), with ``source`` as a data column — a store
+    written by both paths reads back through ``RollupJob.read_tier``
+    with one schema.  (Round 1 partitioned by [day, source] under a
+    tier=X prefix, which made ``source`` a partition directory in
+    stream-written days and a data column in batch-written ones.)
+
+    Delivery: foreachBatch is AT-LEAST-ONCE — a batch retried after a
+    partial failure re-appends its rows.  Each append-mode emission is a
+    closed window computed deterministically, so retries duplicate
+    byte-identical rows; read with ``dedupe_tier_rows`` (or any
+    dropDuplicates over the series+window key) when exactly-once reads
+    matter.  The Iceberg/Delta backend upgrade is idempotent MERGE keyed
+    on (tier, source, metric, kind, window_start).
+
     Returns the StreamingQuery; caller owns awaitTermination/stop.
     """
     from logtrics_spark.plans.pipeline import _day
@@ -82,10 +105,10 @@ def write_tier_stream(
         if batch_df.isEmpty():
             return
         io = ParquetTableIO(batch_df.sparkSession, store_root)
-        out = batch_df.withColumn("day", _day("window_start"))
-        # append (not overwrite): each append-mode emission is a closed
-        # window that appears exactly once
-        io.write_partitioned(out, f"tiers/tier={tier}", ["day", "source"], overwrite_dynamic=False)
+        out = batch_df.withColumn("day", _day("window_start")).withColumn(
+            "tier", F.lit(tier)
+        )
+        io.write_partitioned(out, "tiers", ["tier", "day"], overwrite_dynamic=False)
 
     writer = (
         tier_agg.writeStream.outputMode("append")
@@ -97,3 +120,13 @@ def write_tier_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def dedupe_tier_rows(tier_df: DataFrame) -> DataFrame:
+    """Collapse at-least-once replays from the streaming sink.
+
+    Duplicates are byte-identical (deterministic aggregates over the
+    same closed window), so dropDuplicates over the series+window key is
+    exact, not lossy.
+    """
+    return tier_df.dropDuplicates(["source", "metric", "kind", "window_start"])
