@@ -348,6 +348,19 @@ def q_embedding_norms(spark, sf_dir):
     return embs.select("vec_id", _q(F.sqrt(dot), 4).alias("norm"))
 
 
+def q_graphite_lines(spark, sf_dir):
+    """K2 parity: hourly tier rows formatted as Graphite plaintext
+    (`path value epoch`, epoch = window end), gauge + meter views —
+    oracled by DuckDB printf over the same rollup."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.sinks.graphite import to_graphite_lines
+
+    r = rollup(_events_points(spark, sf_dir), "1h")
+    gauge_lines = to_graphite_lines(r, "1h", gauge_float=True)
+    meter_lines = to_graphite_lines(r.withColumn("kind", F.lit("meter")), "1h")
+    return gauge_lines.unionByName(meter_lines)
+
+
 # ------------------------------- rows-only (non-SQL-expressible) ops
 
 
@@ -509,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embedding_norms": q_embedding_norms,
         "embedding_dupes": q_embedding_dupes,
+        "graphite_lines": q_graphite_lines,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "tokseq_tiers": q_tokseq_tiers,
@@ -714,6 +728,26 @@ def oracle_sql() -> dict[str, str]:
         # computed once in Python (identical on the Spark side) so the
         # two engines' exp() implementations can't diverge.
         "meter_ewma_1h": _ewma_sql(),
+        # Same plaintext lines rebuilt with printf (value quantized to
+        # 6 dp on both sides before formatting).
+        "graphite_lines": """
+            WITH t AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) + 3600 AS epoch,
+                     count(*) AS cnt,
+                     arg_max(value, ts) AS last
+              FROM events GROUP BY 1, 2)
+            SELECT printf('logtrics.%s.ev.value.value %.6f %d', source,
+                          floor(last * 1000000.0 + 0.5 + 1e-6) / 1000000.0, epoch) AS line
+            FROM t
+            UNION ALL
+            SELECT printf('logtrics.%s.ev.value.count %d %d', source, cnt, epoch)
+            FROM t
+            UNION ALL
+            SELECT printf('logtrics.%s.ev.value.mean-rate %.6f %d', source,
+                          floor((cnt / 3600.0) * 1000000.0 + 0.5 + 1e-6) / 1000000.0, epoch)
+            FROM t
+        """,
         # Brute-force exact 5-shingle Jaccard over all doc pairs — the
         # ground truth both LSH paths must fully recover (recall check).
         "minhash_pairs": _pairs_jaccard_sql(),
