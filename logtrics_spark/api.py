@@ -26,6 +26,7 @@ points at once.
 
 from __future__ import annotations
 
+import logging
 import re
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
@@ -37,6 +38,10 @@ from pyspark.sql import functions as F
 
 from logtrics_spark.functions.coerce import to_int64_pandas
 from logtrics_spark.operators.extract import POINT_SCHEMA
+
+# counter emitted once per (failing rule, batch); lets operators alert on
+# broken rules instead of watching points silently vanish
+ERROR_METRIC_PREFIX = "_rule_errors"
 
 
 class _Instrument:
@@ -67,12 +72,48 @@ class _Instrument:
         self._emit(values, 1)
 
 
-class Metrics:
-    """Vectorized analog of the Lua graphite() table (logtrics.go:270-285)."""
+class RuleLogger:
+    """U2 — the reference's six Lua-bound log functions
+    (logtrics.go:162-173, impls 204-267), surfaced to handlers as
+    ``m.log``.  Messages go to the executor's Python logger under
+    ``logtrics_spark.rules.<rule>``; %-style args are deferred like the
+    reference's printf-style bindings."""
 
-    def __init__(self, index: pd.Index) -> None:
+    TRACE = 5  # below logging.DEBUG, mirroring zerolog's trace level
+
+    def __init__(self, rule_name: str) -> None:
+        self._log = logging.getLogger(f"logtrics_spark.rules.{rule_name}")
+
+    def fatal(self, msg: str, *args) -> None:
+        self._log.critical(msg, *args)
+
+    def error(self, msg: str, *args) -> None:
+        self._log.error(msg, *args)
+
+    def warn(self, msg: str, *args) -> None:
+        self._log.warning(msg, *args)
+
+    def info(self, msg: str, *args) -> None:
+        self._log.info(msg, *args)
+
+    def debug(self, msg: str, *args) -> None:
+        self._log.debug(msg, *args)
+
+    def trace(self, msg: str, *args) -> None:
+        self._log.log(self.TRACE, msg, *args)
+
+
+class Metrics:
+    """Vectorized analog of the Lua graphite() table (logtrics.go:270-285).
+
+    ``log`` carries the rule's logging API (U2) so a handler has the
+    same surface a reference Lua handler gets: metrics + log functions.
+    """
+
+    def __init__(self, index: pd.Index, rule_name: str = "rule") -> None:
         self._index = index
         self._points: list[tuple[str, str, pd.Series]] = []
+        self.log = RuleLogger(rule_name)
 
     def counter(self, name: str) -> _Instrument:
         return _Instrument(self, name, "counter")
@@ -145,10 +186,15 @@ class Engine:
 
         def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             compiled = [(name, re.compile(pat)) for name, pat in rules]
+            log = logging.getLogger("logtrics_spark.engine")
             for pdf in batches:
                 out_frames = []
                 lines = pdf["line"].astype("string")
                 for name, pat in compiled:
+                    # buffer this rule's frames locally and publish only
+                    # after the handler completes: a failure mid-flush
+                    # must not ship a partial subset of the rule's points
+                    rule_frames: list[pd.DataFrame] = []
                     try:
                         # gate (parser.go:41-43): silent skip of non-matches
                         mask = lines.str.contains(pat, regex=True, na=False)
@@ -162,10 +208,10 @@ class Engine:
                         caps = caps[[c for c in caps.columns if isinstance(c, str)]]
                         # metadata projection (logtrics.go:190-196)
                         caps = caps.assign(_source=sub["source"], _line=sub["line"])
-                        sink = Metrics(caps.index)
+                        sink = Metrics(caps.index, rule_name=name)
                         handlers[name](caps, sink)
                         for metric, kind, values in sink._points:
-                            out_frames.append(
+                            rule_frames.append(
                                 pd.DataFrame(
                                     {
                                         "source": sub["source"],
@@ -178,8 +224,25 @@ class Engine:
                             )
                     except Exception:
                         # per-rule isolation (script.go:59-62): a broken
-                        # rule must not kill sibling rules or the job
+                        # rule must not kill sibling rules or the job —
+                        # but unlike the round-1 silent continue, the
+                        # failure is logged (the reference logs handler
+                        # errors too) and surfaced as a counter point so
+                        # a dashboard shows the rule bleeding out
+                        log.exception("rule %r failed; dropping its points for this batch", name)
+                        out_frames.append(
+                            pd.DataFrame(
+                                {
+                                    "source": ["_engine"],
+                                    "metric": [f"{ERROR_METRIC_PREFIX}.{name}"],
+                                    "kind": ["counter"],
+                                    "ts": [pdf["ts"].iloc[0]],
+                                    "value": [1],
+                                }
+                            )
+                        )
                         continue
+                    out_frames.extend(rule_frames)
                 if out_frames:
                     yield pd.concat(out_frames, ignore_index=True)
 

@@ -111,7 +111,9 @@ def test_counter_inc_dec_and_negative(spark, lines):
 
 
 def test_rule_error_isolation(spark, lines):
-    """A raising handler must not kill sibling rules (script.go:59-62)."""
+    """A raising handler must not kill sibling rules (script.go:59-62),
+    and the failure surfaces as a _rule_errors counter point instead of
+    vanishing silently (VERDICT r1 / ADVICE)."""
 
     def broken(caps, m):
         raise RuntimeError("boom")
@@ -123,8 +125,49 @@ def test_rule_error_isolation(spark, lines):
     eng.rule("broken", r'hello "(?P<first>\w+)"', broken)
     eng.rule("fine", r'hello "(?P<first>\w+)"', fine)
     got = eng.run(lines).toPandas()
-    assert set(got["metric"]) == {"ok"}
-    assert len(got) == 2
+    assert set(got["metric"]) == {"ok", "_rule_errors.broken"}
+    errs = got[got["metric"] == "_rule_errors.broken"]
+    assert (errs["source"] == "_engine").all()
+    assert (errs["kind"] == "counter").all()
+    assert errs["value"].sum() >= 1
+    assert (got[got["metric"] == "ok"]["value"] == 1).all()
+
+
+def test_rule_failure_ships_no_partial_points(spark, lines):
+    """A handler that emits some points and THEN raises must ship NONE
+    of them — frames are buffered per rule and published only on
+    success (ADVICE: partial-flush hole)."""
+
+    def partial(caps, m):
+        m.counter("before.crash").inc(1)
+        raise RuntimeError("after emitting")
+
+    eng = Engine()
+    eng.rule("partial", r'hello "(?P<first>\w+)"', partial)
+    got = eng.run(lines).toPandas()
+    assert "before.crash" not in set(got["metric"])
+    assert set(got["metric"]) == {"_rule_errors.partial"}
+
+
+def test_rule_logging_surface(spark, lines):
+    """U2: handlers get the reference's six log functions via m.log
+    (logtrics.go:162-173); logging must not disturb point emission."""
+    from logtrics_spark.api import RuleLogger
+
+    def handler(caps, m):
+        m.log.info("saw %d rows", len(caps))
+        m.log.debug("first capture: %s", caps["first"].iloc[0])
+        m.log.trace("trace level works")
+        m.meter("logged").mark(1)
+
+    eng = Engine()
+    eng.rule("logger", r'hello "(?P<first>\w+)"', handler)
+    got = eng.run(lines).toPandas()
+    assert set(got["metric"]) == {"logged"}
+    # all six reference functions exist driver-side too
+    rl = RuleLogger("unit")
+    for fn in ("fatal", "error", "warn", "info", "debug", "trace"):
+        getattr(rl, fn)("msg %s", "arg")
 
 
 def test_multiple_rules_shared_scan(spark, lines):
