@@ -70,6 +70,7 @@ def main() -> None:
 
     # ---- driver queries at sf_dir ---------------------------------------
     qs = entrymod.queries()
+    rows: dict[str, int] = {}
     for name in [
         "rollup_1m",
         "cascade_1h",
@@ -85,11 +86,43 @@ def main() -> None:
         "similarity_topk",
         "minhash_pairs",
         "simhash_pairs",
+        "embedding_dupes",
+        "graphite_lines",
     ]:
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        extras[f"{name}_rows"] = n
+        rows[name] = n
+
+    # ---- delta vs the previous round's recorded bench -------------------
+    # regressions must be mechanically visible: vs_prev[q] = t_now/t_prev
+    # at the same sf (>1 slower, <1 faster)
+    vs_prev: dict[str, float] = {}
+    prev_name = None
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    import glob
+    import re
+
+    cands = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if cands:
+        _, prev_path = max(cands)
+        prev_name = os.path.basename(prev_path)
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf:
+                pq = prev.get("queries", {})
+                vs_prev = {
+                    k: round(t / pq[k], 3)
+                    for k, t in timings.items()
+                    if pq.get(k)
+                }
+        except (OSError, json.JSONDecodeError, ZeroDivisionError):
+            pass
 
     total = round(sum(timings.values()), 3)
     print(
@@ -99,10 +132,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows": rows,
                 "sf": sf,
                 "cpus": cpus,
                 "points_per_sec": extras["points_per_sec"],
                 "tok_rows": extras["tok_rows"],
+                "vs_prev": vs_prev,
+                "prev_bench": prev_name,
             }
         )
     )

@@ -125,19 +125,30 @@ def frame_sample(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"media_id": [], "frame_ms": [], "frame_feature": []}
-            for r in pdf.itertuples(index=False):
-                if not fake_decode:
-                    _require_decoder("video")
-                dur = r.duration_ms or 0
-                for t in range(0, int(dur), every_ms):
-                    rows["media_id"].append(r.media_id)
-                    rows["frame_ms"].append(t)
-                    rows["frame_feature"].append(
-                        _fake_feature((r.payload or b"") + t.to_bytes(8, "little"), 8)
-                    )
-            if rows["media_id"]:
-                yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            if not fake_decode:
+                _require_decoder("video")
+            # vectorized sampling plan: frame counts -> repeat ids/payloads,
+            # one arange per row for timestamps.  Only the decode kernel
+            # itself (the stubbed per-frame hash) stays per-frame — that is
+            # the seam a real frame decoder plugs into.
+            dur = pdf["duration_ms"].fillna(0).astype("int64").to_numpy()
+            n_frames = -(-np.clip(dur, 0, None) // every_ms)  # ceil
+            if n_frames.sum() == 0:
+                continue
+            ids = np.repeat(pdf["media_id"].to_numpy(), n_frames)
+            payloads = np.repeat(pdf["payload"].to_numpy(), n_frames)
+            frame_ms = np.concatenate(
+                [np.arange(0, d, every_ms, dtype=np.int64) for d in dur if d > 0]
+            )
+            feats = [
+                _fake_feature((bytes(p) if p is not None else b"") + int(t).to_bytes(8, "little"), 8)
+                for p, t in zip(payloads, frame_ms)
+            ]
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ms": frame_ms, "frame_feature": feats}
+            )
 
     slim = df.where(F.col("modality") == "video").select(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")

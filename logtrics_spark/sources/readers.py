@@ -31,9 +31,14 @@ MAX_LINE_BYTES = 1024  # readers.go:135,182
 
 
 def normalize_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
-    """Trim whitespace/CRLF and cap at 1024 chars (reference read buffer)."""
+    """Trim whitespace/CRLF and cap at 1024 chars (reference read buffer).
+
+    NB: Spark's ``trim`` strips only 0x20 spaces; the reference strips
+    all whitespace plus ``\\r\\n`` (readers.go:140-141), hence the regex.
+    """
     c = F.col(line_col)
-    return df.withColumn(line_col, F.substring(F.trim(c), 1, MAX_LINE_BYTES))
+    trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return df.withColumn(line_col, F.substring(trimmed, 1, MAX_LINE_BYTES))
 
 
 def read_lines(
@@ -88,3 +93,59 @@ def lines_df(spark: SparkSession, lines: list[str], source: str = "console") -> 
     pdf["source"] = source
     pdf["ts"] = pd.Timestamp("1970-01-01") + pd.to_timedelta(pdf.index, unit="s")
     return normalize_lines(spark.createDataFrame(pdf[["source", "line", "ts"]]))
+
+
+class UDPLineCollector:
+    """S2 — bounded UDP datagram ingest harness.
+
+    Spark has no UDP source, and the production answer stays a
+    UDP->TCP relay in front of ``stream_socket``; this harness gives
+    datagram ingestion the same dev/test standing the console reader
+    has (reference reader/readers.go:109-147): bind, collect datagrams
+    on a daemon thread, drain into a lines DataFrame.  Reference
+    semantics preserved exactly: 1024-byte read buffer
+    (readers.go:135), whitespace + CRLF trim (readers.go:140-141),
+    ``UDP:<remote>`` source tag (readers.go:131).  Driver-side by
+    design — so was the reference's reader; at scale datagrams belong
+    behind a relay or a queue, not in an executor.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        import socket
+        import threading
+
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._sock.settimeout(0.1)
+        self.address = self._sock.getsockname()  # (host, actual_port)
+        self._rows: list[tuple[str, str]] = []
+        self._stop = threading.Event()
+
+        def pump() -> None:
+            while not self._stop.is_set():
+                try:
+                    data, remote = self._sock.recvfrom(MAX_LINE_BYTES)  # readers.go:135
+                except TimeoutError:
+                    continue
+                except OSError:
+                    break
+                line = data.decode("utf-8", errors="replace")
+                self._rows.append((f"UDP:{remote[0]}:{remote[1]}", line))
+
+        self._thread = threading.Thread(target=pump, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._sock.close()
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        """Drain collected datagrams -> (source, line, ts) DataFrame."""
+        pdf = pd.DataFrame(self._rows, columns=["source", "line"])
+        pdf["ts"] = pd.Timestamp("1970-01-01") + pd.to_timedelta(pdf.index, unit="s")
+        if not len(pdf):
+            return normalize_lines(
+                spark.createDataFrame([], "source string, line string, ts timestamp")
+            )
+        return normalize_lines(spark.createDataFrame(pdf[["source", "line", "ts"]]))

@@ -46,3 +46,37 @@ def test_stream_lines_filetail(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert sorted(r["line"] for r in got) == ["num=1", "num=2", "skip"]
+
+
+def test_udp_collector_reference_semantics(spark):
+    """S2: datagrams arrive tagged UDP:<remote>, trimmed, capped at the
+    reference's 1024-byte read buffer (readers.go:131-141)."""
+    import socket
+    import time
+
+    from logtrics_spark.api import Engine
+    from logtrics_spark.sources.readers import UDPLineCollector
+
+    col = UDPLineCollector()
+    host, port = col.address
+    snd = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    snd.sendto(b"  num=41 \r\n", (host, port))
+    snd.sendto(b"num=1 " + b"x" * 2000, (host, port))  # past the read buffer
+    snd.close()
+    for _ in range(100):
+        if len(col._rows) >= 2:
+            break
+        time.sleep(0.02)
+    col.stop()
+
+    df = col.dataframe(spark)
+    rows = df.toPandas()
+    assert len(rows) == 2
+    assert rows["source"].str.startswith("UDP:").all()
+    assert "num=41" in set(rows["line"])  # trimmed
+    assert rows["line"].str.len().max() <= 1024  # single-recv cap
+
+    eng = Engine()
+    eng.rule("n", r"num=(?P<n>\d+)", lambda c, m: m.counter("n").inc(c["n"]))
+    got = eng.run(df).toPandas()
+    assert sorted(got["value"]) == [1, 41]
