@@ -377,7 +377,12 @@ def q_minhash_pairs(spark, sf_dir):
     from logtrics_spark.operators.dedup import minhash_lsh_dupes, ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cand = minhash_lsh_dupes(docs, num_hashes=64, bands=32)
+    # materialize candidates once: verification references them three
+    # times (two vector joins + the id prefilter) — at scale this is a
+    # checkpoint between the LSH stage and the verify stage
+    cand = minhash_lsh_dupes(
+        docs, num_hashes=64, bands=32, include_est=False
+    ).localCheckpoint()
     ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5)
     return ver.where(F.col("jaccard") >= 0.6).select(
         "id_a", "id_b", _q("jaccard", 4).alias("jaccard")
@@ -394,7 +399,9 @@ def q_simhash_pairs(spark, sf_dir):
     from logtrics_spark.operators.dedup import ngram_jaccard_pairs, simhash_dupes
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cand = simhash_dupes(docs, band_bits=8).where("hamming <= 7")
+    cand = (
+        simhash_dupes(docs, band_bits=8).where("hamming <= 7").localCheckpoint()
+    )
     ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5)
     return ver.where(F.col("jaccard") >= 0.6).select(
         "id_a", "id_b", _q("jaccard", 4).alias("jaccard")

@@ -114,6 +114,7 @@ def main() -> None:
         try:
             with open(prev_path) as fh:
                 prev = json.load(fh)
+            prev = prev.get("parsed", prev)  # driver wraps the JSON line
             if prev.get("sf") == sf:
                 pq = prev.get("queries", {})
                 vs_prev = {

@@ -153,6 +153,7 @@ def minhash_lsh_dupes(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float | None = None,
+    include_est: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH on minhash signatures.
 
@@ -160,6 +161,9 @@ def minhash_lsh_dupes(
     band of their signatures matches exactly.  Output: (id_a, id_b,
     est_jaccard) with id_a < id_b, est_jaccard = fraction of matching
     minhashes (unbiased Jaccard estimate), optionally thresholded.
+    ``include_est=False`` returns bare (id_a, id_b) candidates — the
+    cheapest shape when a downstream exact-verification stage (e.g.
+    ngram_jaccard_pairs) recomputes the true similarity anyway.
 
     Scale shape: explode to (band_hash, id) -> self-join within band
     buckets.  The join key is (band, band_hash) so only same-bucket
@@ -169,11 +173,20 @@ def minhash_lsh_dupes(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    # signatures are reused by the banding pass and (when est_jaccard is
+    # wanted) by two post-dedup joins: persist so one row per doc is
+    # computed once — tier-sized state (num_hashes longs per doc), and
+    # LRU-evictable under MEMORY_AND_DISK if the corpus is huge
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    need_est = include_est or threshold is not None
+    if need_est:
+        sigs = sigs.persist()
 
+    # band rows carry ONLY (id, band, bucket): the self-join shuffle is
+    # 3 longs per row.  Round-1 carried both 64-long signatures through
+    # the join and the dedup — the dominant cost of the whole operator.
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -193,7 +206,7 @@ def minhash_lsh_dupes(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -204,20 +217,28 @@ def minhash_lsh_dupes(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        .cast("double")
-        / F.lit(float(num_hashes))
-    ).alias("est_jaccard")
-    out = pairs.select("id_a", "id_b", est)
+    if not need_est:
+        return pairs
+    # est_jaccard only for surviving (deduped) candidate pairs
+    out = (
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+        )
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
     if threshold is not None:
         out = out.where(F.col("est_jaccard") >= threshold)
     return out
@@ -259,7 +280,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_dupes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 8,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via the band-split trick on 64-bit
     simhashes: with B = 64/band_bits bands, any pair at Hamming distance
@@ -272,11 +297,24 @@ def simhash_dupes(
     differing bits spread across bands).
     Output: (id_a, id_b, hamming).
     """
-    return simhash_band_pairs(simhash64(df, text_col, id_col), band_bits)
+    return simhash_band_pairs(simhash64(df, text_col, id_col), band_bits, max_hamming)
 
 
-def simhash_band_pairs(sims: DataFrame, band_bits: int = 8) -> DataFrame:
+def simhash_band_pairs(
+    sims: DataFrame, band_bits: int = 8, max_hamming: int | None = None
+) -> DataFrame:
     """(id, simhash) -> candidate pairs agreeing on >=1 band.
+
+    ``max_hamming`` defaults to the band guarantee radius (B-1): pairs
+    beyond it are accidental bucket collisions with no recall promise,
+    and filtering them BEFORE the dedup shuffle is the difference
+    between deduplicating a few thousand rows and a few million —
+    narrow bands make dense buckets (at band_bits=8 a clustered corpus
+    pairs up quadratically within each 256-value band space), so the
+    hamming cut must run streaming in the join stage.  Scale note: a
+    guarantee radius of 7 over 64 bits forces 8-bit bands and is
+    inherently dense; at web scale prefer band_bits=16 (radius 3, the
+    Manku et al. WWW'07 operating point).
 
     Split out from ``simhash_dupes`` so the pigeonhole guarantee is
     directly testable on crafted simhash values (tests/test_trainops.py).
@@ -284,6 +322,8 @@ def simhash_band_pairs(sims: DataFrame, band_bits: int = 8) -> DataFrame:
     if 64 % band_bits:
         raise ValueError("band_bits must divide 64")
     n_bands = 64 // band_bits
+    if max_hamming is None:
+        max_hamming = n_bands - 1
     mask = (1 << band_bits) - 1
     banded = sims.select(
         "id",
@@ -303,23 +343,23 @@ def simhash_band_pairs(sims: DataFrame, band_bits: int = 8) -> DataFrame:
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        # hamming cut INSIDE the join stage, before any shuffle
+        .where(ham <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            ham.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming")
-    return pairs.select("id_a", "id_b", ham)
 
 
 # ----------------------------------------------------- n-gram jaccard
@@ -334,22 +374,52 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for given candidate (id_a, id_b) pairs.
 
-    The verification stage after LSH: joins the docs back in (broadcast
-    when pairs are small), computes |A∩B|/|A∪B| on distinct n-gram sets
-    with array functions.
+    The verification stage after LSH.  Plan shape (all whole-stage
+    codegen, no array HOFs — the interpreted array_intersect/union
+    variant was ~2x slower on 40k-candidate verifies):
+
+      1. gram rows (id, sh) only for docs appearing in a pair
+         (broadcast semi-join prefilter — at corpus scale the candidate
+         set is orders of magnitude smaller than the corpus);
+      2. |A∩B| per pair = pairs ⋈ grams(id_a) ⋈ grams(id_b, sh) →
+         groupBy(pair).count — narrow rows through hash joins;
+      3. jaccard = inter / (|A| + |B| - inter) with per-doc set sizes.
+
+    Callers should materialize ``pairs`` (persist/localCheckpoint)
+    first: it anchors several joins here, and an unmaterialized LSH
+    plan would be recomputed for each.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(_shingles(text_col, n)).alias("grams")
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    slim = df.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(cand_ids.withColumnRenamed("id", id_col)), id_col, "left_semi"
+    )
+    gram_rows = _shingle_rows(slim, text_col, id_col, n).distinct()  # (id, sh)
+    sizes = gram_rows.groupBy("id").agg(F.count("*").alias("sz"))
+
+    pair_keys = pairs.select("id_a", "id_b")
+    inter = (
+        pair_keys.join(
+            gram_rows.select(F.col("id").alias("id_a"), "sh"), "id_a"
+        )
+        .join(gram_rows.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
     out = (
-        pairs.join(grams.withColumnRenamed("grams", "ga").withColumnRenamed("id", "id_a"), "id_a")
-        .join(grams.withColumnRenamed("grams", "gb").withColumnRenamed("id", "id_b"), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
-        .withColumn("uni", F.size(F.array_union("ga", "gb")))
+        pair_keys.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jaccard"),
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("sa") + F.col("sb") - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
+            ).alias("jaccard"),
         )
     )
     return out
