@@ -97,12 +97,64 @@ class _BitReader:
         return out
 
 
+# -------------------------------------------------------- bit packing
+#
+# The encoders below emit (value, nbits) code pairs instead of driving a
+# per-call bit writer; _pack_codes assembles the final bitstream with one
+# vectorized numpy pass (ragged bit expansion + packbits).  Byte layout
+# is identical to the original _BitWriter (MSB-first, final byte
+# zero-padded low), so chunks written by either implementation decode
+# with either decoder.
+
+
+def _pack_codes(vals: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Pack MSB-first variable-length codes (<=64 bits each) into bytes."""
+    nb = nbits.astype(np.int64)
+    total = int(nb.sum())
+    if total == 0:
+        return b""
+    starts = np.cumsum(nb) - nb
+    intra = np.arange(total, dtype=np.int64) - np.repeat(starts, nb)
+    shift = (np.repeat(nb, nb) - 1 - intra).astype(np.uint64)
+    bits = ((np.repeat(vals.astype(np.uint64), nb) >> shift) & np.uint64(1)).astype(
+        np.uint8
+    )
+    return np.packbits(bits).tobytes()
+
+
+def _zero_run(buf: bytes, pos: int, max_bits: int) -> int:
+    """Count consecutive 0 bits at ``pos`` (up to max_bits), byte-skipping.
+
+    Decode fast path: a run of z zero bits is z 'repeat previous' codes
+    for both the dod and the xor stream, and regular tiers are almost
+    entirely such runs."""
+    cnt = 0
+    nbytes = len(buf)
+    while cnt < max_bits:
+        byte_i, bit_i = divmod(pos + cnt, 8)
+        if byte_i >= nbytes:
+            break
+        rest = buf[byte_i] & ((1 << (8 - bit_i)) - 1)
+        if rest == 0:
+            cnt += 8 - bit_i
+            byte_i += 1
+            while cnt + 8 <= max_bits and byte_i < nbytes and buf[byte_i] == 0:
+                cnt += 8
+                byte_i += 1
+        else:
+            cnt += (8 - bit_i) - rest.bit_length()
+            break
+    return min(cnt, max_bits)
+
+
 # ------------------------------------------------------------ ts codec
 
 _DOD_BUCKETS = [(64, "10", 7), (256, "110", 9), (2048, "1110", 12)]
 
 
 def _encode_ts(w: _BitWriter, ts: np.ndarray) -> None:
+    """Reference (per-write) encoder — kept as the format spec and the
+    differential-test twin of the vectorized ``_encode_ts_codes``."""
     prev_delta = 0
     prev = int(ts[0])
     for i in range(1, len(ts)):
@@ -123,26 +175,86 @@ def _encode_ts(w: _BitWriter, ts: np.ndarray) -> None:
         prev, prev_delta = cur, delta
 
 
+def _encode_ts_codes(ts: np.ndarray) -> bytes:
+    """Vectorized ts encoder: bucket selection and payloads via numpy,
+    one _pack_codes pass; bit-identical to _encode_ts."""
+    d = np.diff(ts.astype(np.int64))
+    if len(d) == 0:
+        return b""
+    dod = np.empty(len(d), dtype=np.int64)
+    dod[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=dod[1:])
+
+    m = len(dod)
+    vals = np.full(m, 0b1111, dtype=np.uint64)
+    nbits = np.full(m, 4, dtype=np.uint8)
+    over_vals = np.zeros(m, dtype=np.uint64)
+    over_nbits = np.zeros(m, dtype=np.uint8)
+
+    c0 = dod == 0
+    c1 = ~c0 & (dod > -64) & (dod <= 64)
+    c2 = ~c0 & ~c1 & (dod > -256) & (dod <= 256)
+    c3 = ~c0 & ~c1 & ~c2 & (dod > -2048) & (dod <= 2048)
+    over = ~(c0 | c1 | c2 | c3)
+
+    vals[c0] = 0
+    nbits[c0] = 1
+    vals[c1] = (0b10 << 7) | (dod[c1] + 63).astype(np.uint64)
+    nbits[c1] = 9
+    vals[c2] = (0b110 << 9) | (dod[c2] + 255).astype(np.uint64)
+    nbits[c2] = 12
+    vals[c3] = (0b1110 << 12) | (dod[c3] + 2047).astype(np.uint64)
+    nbits[c3] = 16
+    if over.any():
+        over_vals[over] = dod[over].astype(np.uint64)  # two's complement
+        over_nbits[over] = 64
+
+    all_vals = np.column_stack([vals, over_vals]).ravel()
+    all_nbits = np.column_stack([nbits, over_nbits]).ravel()
+    return _pack_codes(all_vals, all_nbits)
+
+
 def _decode_ts(r: _BitReader, n: int, first: int) -> np.ndarray:
+    # hot path: inlined bit reads (byte-slice + from_bytes, no method
+    # calls) and a vectorized fill for zero-bit runs (constant delta)
     out = np.empty(n, dtype=np.int64)
     out[0] = first
+    buf, pos = r.buf, r.pos
     prev, prev_delta = first, 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            dod = 0
+    i = 1
+    while i < n:
+        if not (buf[pos >> 3] >> (7 - (pos & 7))) & 1:
+            run = _zero_run(buf, pos, n - i)
+            out[i : i + run] = prev + prev_delta * np.arange(1, run + 1, dtype=np.int64)
+            prev += prev_delta * run
+            pos += run
+            i += run
+            continue
+        pos += 1
+        # prefix: count 1 bits (max 3 more) to pick the dod bucket
+        k = 0
+        while k < 3 and (buf[pos >> 3] >> (7 - (pos & 7))) & 1:
+            k += 1
+            pos += 1
+        if k < 3:
+            pos += 1  # the terminating 0 bit
+            hi, nb = ((64, 7), (256, 9), (2048, 12))[k]
         else:
-            matched = False
-            for hi, prefix, bits in _DOD_BUCKETS:
-                if r.read(1) == 0:
-                    dod = r.read(bits) - hi + 1
-                    matched = True
-                    break
-            if not matched:
-                raw = r.read(64)
-                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+            hi, nb = None, 64
+        byte_i = pos >> 3
+        end = (pos + nb + 7) >> 3
+        word = int.from_bytes(buf[byte_i:end], "big")
+        raw = (word >> ((end - byte_i) * 8 - (pos & 7) - nb)) & ((1 << nb) - 1)
+        pos += nb
+        if hi is not None:
+            dod = raw - hi + 1
+        else:
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
         prev_delta += dod
         prev += prev_delta
         out[i] = prev
+        i += 1
+    r.pos = pos
     return out
 
 
@@ -150,7 +262,8 @@ def _decode_ts(r: _BitReader, n: int, first: int) -> np.ndarray:
 
 
 def _encode_vals(w: _BitWriter, bits: np.ndarray) -> None:
-    """bits: uint64 view of the float64 column."""
+    """Reference (per-write) encoder — format spec / differential twin
+    of ``_encode_vals_codes``."""
     prev = int(bits[0])
     lead, mlen = -1, -1  # previous window; -1 = none
     for i in range(1, len(bits)):
@@ -178,25 +291,96 @@ def _encode_vals(w: _BitWriter, bits: np.ndarray) -> None:
         prev = cur
 
 
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (exact, 6 halvings)."""
+    x = x.copy()
+    n = np.full(x.shape, 64, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        n[big] -= s
+        x[big] >>= np.uint64(s)
+    return n - x.astype(np.int64)  # x is 0 or 1 here; nonzero -> one more
+
+
+def _encode_vals_codes(bits: np.ndarray) -> bytes:
+    """Vectorized value encoder: xor/lz/tz/ml precomputed with numpy;
+    only the (inherently sequential) window-state walk stays in Python,
+    over plain int lists.  Bit-identical to _encode_vals."""
+    b = bits.astype(np.uint64)
+    if len(b) <= 1:
+        return b""
+    xor = b[1:] ^ b[:-1]
+    nz = xor != np.uint64(0)
+    lz = np.minimum(_clz64(xor), 31)
+    low = xor & (~xor + np.uint64(1))  # lowest set bit
+    tz = np.where(nz, 63 - _clz64(low), 0)
+    ml = (64 - lz - tz).astype(np.int64)
+
+    xor_l = xor.tolist()
+    lz_l = lz.tolist()
+    tz_l = tz.tolist()
+    ml_l = ml.tolist()
+
+    vals: list[int] = []
+    nbits: list[int] = []
+    ap_v, ap_n = vals.append, nbits.append
+    lead, mlen = -1, -1
+    for i, x in enumerate(xor_l):
+        if x == 0:
+            ap_v(0)
+            ap_n(1)
+            continue
+        l_, m_ = lz_l[i], ml_l[i]
+        if lead >= 0 and l_ >= lead and l_ + m_ <= lead + mlen:
+            ap_v(0b10)
+            ap_n(2)
+            ap_v(x >> (64 - lead - mlen))
+            ap_n(mlen)
+        else:
+            ap_v((0b11 << 11) | (l_ << 6) | (m_ - 1))
+            ap_n(13)
+            ap_v(x >> tz_l[i])
+            ap_n(m_)
+            lead, mlen = l_, m_
+    return _pack_codes(np.array(vals, dtype=np.uint64), np.array(nbits, dtype=np.uint8))
+
+
 def _decode_vals(r: _BitReader, n: int, first: int) -> np.ndarray:
+    # hot path mirrors _decode_ts: inlined reads, zero-run repeat fill
     out = np.empty(n, dtype=np.uint64)
     out[0] = first
+    buf, pos = r.buf, r.pos
     prev = first
     lead, mlen = 0, 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            out[i] = prev
+    i = 1
+    while i < n:
+        if not (buf[pos >> 3] >> (7 - (pos & 7))) & 1:
+            run = _zero_run(buf, pos, n - i)  # repeat-previous fast path
+            out[i : i + run] = prev
+            pos += run
+            i += run
             continue
-        if r.read(1) == 0:
-            bits = r.read(mlen)
-            xor = bits << (64 - lead - mlen)
+        pos += 1
+        if (buf[pos >> 3] >> (7 - (pos & 7))) & 1:
+            pos += 1
+            byte_i = pos >> 3  # 11-bit header: 5 lead + 6 (mlen-1)
+            end = (pos + 18) >> 3
+            word = int.from_bytes(buf[byte_i:end], "big")
+            hdr = (word >> ((end - byte_i) * 8 - (pos & 7) - 11)) & 0x7FF
+            pos += 11
+            lead = hdr >> 6
+            mlen = (hdr & 63) + 1
         else:
-            lead = r.read(5)
-            mlen = r.read(6) + 1
-            bits = r.read(mlen)
-            xor = bits << (64 - lead - mlen)
-        prev ^= xor
+            pos += 1
+        byte_i = pos >> 3
+        end = (pos + mlen + 7) >> 3
+        word = int.from_bytes(buf[byte_i:end], "big")
+        bits = (word >> ((end - byte_i) * 8 - (pos & 7) - mlen)) & ((1 << mlen) - 1)
+        pos += mlen
+        prev ^= bits << (64 - lead - mlen)
         out[i] = prev
+        i += 1
+    r.pos = pos
     return out
 
 
@@ -212,13 +396,8 @@ def compress_chunk(ts: np.ndarray, cols: list[np.ndarray]) -> bytes:
     views = [np.ascontiguousarray(c, dtype=np.float64).view(np.uint64) for c in cols]
     head = struct.pack("<IHq", n, len(views), int(ts[0]))
     head += b"".join(struct.pack("<Q", int(v[0])) for v in views)
-    tw = _BitWriter()
-    _encode_ts(tw, ts)
-    streams = [tw.getvalue()]
-    for v in views:
-        vw = _BitWriter()
-        _encode_vals(vw, v)
-        streams.append(vw.getvalue())
+    streams = [_encode_ts_codes(ts)]
+    streams += [_encode_vals_codes(v) for v in views]
     return head + b"".join(struct.pack("<I", len(s)) + s for s in streams)
 
 

@@ -129,3 +129,44 @@ def test_spark_roundtrip(spark, tmp_path):
         F.sum(F.length("chunk")).alias("bytes"), F.sum("n_points").alias("pts")
     ).collect()[0]
     assert stats.bytes < 0.8 * stats.pts * 8 * 7  # ts + 6 value cols raw
+
+
+def test_vectorized_encoders_bit_identical_to_reference():
+    """The numpy-packed encoders must emit byte-identical streams to the
+    per-write reference encoders for adversarial inputs: dod bucket
+    boundaries, 64-bit overflow dods, xor window resets, NaN/inf/-0.0."""
+    from logtrics_spark.operators.gorilla import (
+        _BitWriter,
+        _encode_ts,
+        _encode_ts_codes,
+        _encode_vals,
+        _encode_vals_codes,
+    )
+
+    rng = np.random.default_rng(11)
+    # timestamps: regular run, bucket edges, sign flips, huge jumps
+    base = 1_704_067_200
+    ts_cases = [
+        np.array([base], dtype=np.int64),
+        base + np.arange(500, dtype=np.int64) * 60,
+        base + np.cumsum(rng.integers(-3000, 3000, 400)),
+        np.array([base, base + 1, base + 2, base + 2**40, base + 2**40 + 3], dtype=np.int64),
+        base + np.cumsum(np.array([64, 128, -63, 65, 256, -255, 257, 2048, -2047, 2049, 0, 0])),
+    ]
+    for ts in ts_cases:
+        w = _BitWriter()
+        _encode_ts(w, ts)
+        assert w.getvalue() == _encode_ts_codes(np.asarray(ts, dtype=np.int64)), ts[:5]
+
+    val_cases = [
+        np.array([1.5], dtype=np.float64),
+        np.repeat(3.25, 300),
+        rng.standard_normal(500),
+        np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-310, 5.0, 5.0, 5.000001]),
+        np.round(np.cumsum(rng.standard_normal(400)), 2),
+    ]
+    for vals in val_cases:
+        view = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+        w = _BitWriter()
+        _encode_vals(w, view)
+        assert w.getvalue() == _encode_vals_codes(view), vals[:5]
