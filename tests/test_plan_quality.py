@@ -63,3 +63,49 @@ def test_no_python_udfs_in_native_path(spark, raw):
     plan = _plan(tiers)
     for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"]:
         assert marker not in plan, marker
+
+
+def test_graphite_lines_stay_jvm_side(spark, raw):
+    """K2 formatting is pure Catalyst string expressions — a Python UDF
+    here would serialize every tier row through Arrow just to printf."""
+    from logtrics_spark.sinks.graphite import to_graphite_lines
+
+    plan = _plan(to_graphite_lines(rollup(extract_points(raw), "1h"), "1h"))
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert marker not in plan, marker
+    assert "format_string" in plan.lower() or "Generate" in plan
+
+
+def test_minhash_band_join_carries_no_signatures(spark, raw):
+    """The LSH self-join shuffle must move (id, band, bucket) only —
+    round 1 shipped both 64-long signature arrays through the join."""
+    from logtrics_spark.operators.dedup import minhash_lsh_dupes
+
+    docs = raw.select(raw.doc_id, raw.source.alias("text"))
+    plan = _plan(minhash_lsh_dupes(docs, include_est=False))
+    assert "CartesianProduct" not in plan
+    # the join output schema is just the two ids; sig arrays appear only
+    # upstream of the band explode
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines, plan
+    assert all("sig" not in ln for ln in join_lines), join_lines
+
+
+def test_verification_jaccard_is_codegen(spark, raw):
+    """ngram_jaccard_pairs: no interpreted array HOFs (ArrayIntersect /
+    ArrayUnion / aggregate lambdas) in the counting plan."""
+    import pandas as pd
+
+    from logtrics_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e f", "a b c d e g"]})
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    plan = _plan(ngram_jaccard_pairs(docs, pairs, n=3))
+    assert "array_intersect" not in plan.lower()
+    assert "array_union" not in plan.lower()
