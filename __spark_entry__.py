@@ -29,6 +29,19 @@ TIER_SECS = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400}
 # Side-channel parquet dumps shared between a queries() entry and its
 # DuckDB oracle (written by the query, read by the SQL via read_parquet).
 TOKSEQ_DUMP = "/tmp/spark_graft_tokseq_points"
+TOKSEQ_RAW_DUMP = "/tmp/spark_graft_tokseq_raw"
+
+
+def _tokseq_raw(spark) -> DataFrame:
+    """Synthesize the north-rule token table once, dump it, read it back
+    — both engines consume the identical parquet bytes."""
+    from logtrics_spark.datagen import gen_tokseq
+
+    tok = gen_tokseq(spark, 20_000, partitions=8)
+    tok.select("doc_id", "tokens", "n_tok", "source").write.mode("overwrite").parquet(
+        TOKSEQ_RAW_DUMP
+    )
+    return spark.read.parquet(TOKSEQ_RAW_DUMP)
 
 
 def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +374,60 @@ def q_graphite_lines(spark, sf_dir):
     return gauge_lines.unionByName(meter_lines)
 
 
+def q_tokseq_stats(spark, sf_dir):
+    """Per-sequence token profile over the array<int32> payload —
+    all JVM array expressions, oracled by DuckDB list functions on the
+    same dumped parquet."""
+    from logtrics_spark.operators.tokens import token_stats
+
+    s = token_stats(_tokseq_raw(spark))
+    return s.select(
+        "doc_id", "n_tok", "n_unique",
+        _q("unique_ratio", 6).alias("unique_ratio"),
+        "min_token", "max_token",
+    )
+
+
+def q_tokseq_vocab(spark, sf_dir):
+    """Corpus vocabulary histogram, top-50 (freq desc, token asc) —
+    explode + partial-agg groupBy; shuffle carries distinct tokens."""
+    from logtrics_spark.operators.tokens import vocab_topk
+
+    return vocab_topk(_tokseq_raw(spark), k=50)
+
+
+def q_tokseq_dedup(spark, sf_dir):
+    """Exact sequence-level dedup keyed on the structural array hash;
+    50 planted duplicate sequences must collapse to keep rows with
+    dup_count 2.  Output omits the engine-specific hash key — group
+    identity is the (unique) keep_id."""
+    from logtrics_spark.operators.tokens import dedup_token_seqs
+
+    tok = _tokseq_raw(spark)
+    planted = tok.where(F.col("doc_id") < "doc000000000050").withColumn(
+        "doc_id", F.concat(F.lit("z"), "doc_id")
+    )
+    d = dedup_token_seqs(tok.unionByName(planted))
+    return d.select("keep_id", "dup_count")
+
+
+def q_tokseq_ngrams(spark, sf_dir):
+    """Order-sensitive token trigram counts (freq >= 2), gram emitted
+    as a comma-joined string so both engines hash identically.  The
+    corpus is near-random (no natural repeats), so the same 50-doc
+    duplication used by tokseq_dedup seeds repeated trigrams."""
+    from logtrics_spark.operators.tokens import ngram_counts
+
+    tok = _tokseq_raw(spark)
+    planted = tok.where(F.col("doc_id") < "doc000000000050").withColumn(
+        "doc_id", F.concat(F.lit("z"), "doc_id")
+    )
+    g = ngram_counts(tok.unionByName(planted), n=3, min_freq=2)
+    return g.select(
+        F.concat_ws(",", F.col("gram").cast("array<string>")).alias("gram"), "freq"
+    )
+
+
 # ------------------------------- rows-only (non-SQL-expressible) ops
 
 
@@ -530,6 +597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "embedding_dupes": q_embedding_dupes,
         "graphite_lines": q_graphite_lines,
+        "tokseq_stats": q_tokseq_stats,
+        "tokseq_vocab": q_tokseq_vocab,
+        "tokseq_dedup": q_tokseq_dedup,
+        "tokseq_ngrams": q_tokseq_ngrams,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "tokseq_tiers": q_tokseq_tiers,
@@ -735,6 +806,51 @@ def oracle_sql() -> dict[str, str]:
         # computed once in Python (identical on the Spark side) so the
         # two engines' exp() implementations can't diverge.
         "meter_ewma_1h": _ewma_sql(),
+        # DuckDB list functions over the dumped token table.
+        "tokseq_stats": f"""
+            SELECT doc_id,
+                   CAST(len(tokens) AS INT) AS n_tok,
+                   CAST(len(list_distinct(tokens)) AS INT) AS n_unique,
+                   floor((len(list_distinct(tokens)) * 1.0 / len(tokens))
+                         * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS unique_ratio,
+                   list_min(tokens) AS min_token,
+                   list_max(tokens) AS max_token
+            FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet')
+        """,
+        "tokseq_vocab": f"""
+            WITH t AS (
+              SELECT unnest(tokens) AS token
+              FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet')),
+            c AS (
+              SELECT token, count(*) AS freq FROM t GROUP BY 1)
+            SELECT token, freq,
+                   CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INT) AS rank
+            FROM c QUALIFY rank <= 50
+        """,
+        "tokseq_dedup": f"""
+            WITH base AS (
+              SELECT doc_id, tokens FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet')),
+            u AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT 'z' || doc_id AS doc_id, tokens
+              FROM base WHERE doc_id < 'doc000000000050')
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM u GROUP BY tokens
+        """,
+        "tokseq_ngrams": f"""
+            WITH base AS (
+              SELECT doc_id, tokens FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet')),
+            u AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT 'z' || doc_id, tokens FROM base WHERE doc_id < 'doc000000000050'),
+            g AS (
+              SELECT array_to_string(tokens[i:i+2], ',') AS gram
+              FROM u, unnest(range(1, len(tokens) - 1)) AS r(i))
+            SELECT gram, count(*) AS freq
+            FROM g GROUP BY 1 HAVING count(*) >= 2
+        """,
         # Same plaintext lines rebuilt with printf (value quantized to
         # 6 dp on both sides before formatting).
         "graphite_lines": """

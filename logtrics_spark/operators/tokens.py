@@ -1,0 +1,112 @@
+"""Token-sequence operators — training-data analytics over the north
+rule's `tokens: array<int32>` payload column.
+
+Everything here is deliberately JVM-side (array functions, explode +
+partial-agg groupBy); the token arrays never cross into Python.  These
+are the sequence-level counterparts of operators/text.py's
+document-text ops:
+
+- token_stats: per-row sequence profile (length, distinct count/ratio,
+  min/max token id) — array expressions, zero shuffles.
+- vocab_topk: corpus vocabulary histogram -> top-k tokens.  explode ->
+  groupBy(token) does map-side partial counts, so the shuffle carries
+  one row per distinct token per task, not one per occurrence; at
+  100 TB that is the difference between shuffling ~vocab-size rows and
+  shuffling the corpus.
+- dedup_token_seqs: exact sequence-level dedup keyed on
+  xxhash64(tokens) — the structural hash of the whole int32 array —
+  so the shuffle moves 8-byte keys instead of multi-KB sequences
+  (same design as dedup.exact_dedup for text).
+- ngram_counts: order-sensitive token n-grams via the same
+  posexplode+lead window shape as dedup._shingle_rows (whole-stage
+  codegen), counted corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_stats(df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id") -> DataFrame:
+    """Per-sequence profile: n_tok, n_unique, unique_ratio, min/max id."""
+    t = F.col(tokens_col)
+    n = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tok"),
+        uniq.alias("n_unique"),
+        (uniq.cast("double") / n.cast("double")).alias("unique_ratio"),
+        F.array_min(t).alias("min_token"),
+        F.array_max(t).alias("max_token"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, tokens_col: str = "tokens", by: str | None = None
+) -> DataFrame:
+    """Top-k most frequent token ids (optionally per `by` group).
+
+    Tie-break on token id ascending so the result is total-ordered and
+    oracle-comparable.
+    """
+    keys = [F.col(by)] if by else []
+    counts = (
+        df.select(*keys, F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy(*keys, "token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy(*[c for c in ([by] if by else [])]).orderBy(
+        F.desc("freq"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*([by] if by else []), "token", "freq", "rank")
+    )
+
+
+def dedup_token_seqs(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact sequence dedup: one keep row per distinct token array.
+
+    Keyed on the structural xxhash64 of the array (8-byte shuffle keys);
+    output (keep_id, dup_count) with keep_id = min id per group.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.xxhash64(F.col(tokens_col)).alias("fp64"))
+        .groupBy("fp64")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_freq: int = 2,
+) -> DataFrame:
+    """Corpus-wide order-sensitive token n-gram counts (freq >= min_freq).
+
+    posexplode + lead window per doc (codegen), n-gram keyed as a
+    fixed-length array column; map-side partial counts on the groupBy.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(tokens_col)).alias("pos", "t0")
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    grams = exploded.select(
+        "id",
+        "pos",
+        F.array(
+            F.col("t0"), *[F.lead("t0", j).over(win) for j in range(1, n)]
+        ).alias("gram"),
+    ).where(F.element_at("gram", n).isNotNull())
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= min_freq)
+    )
