@@ -374,6 +374,26 @@ def q_graphite_lines(spark, sf_dir):
     return gauge_lines.unionByName(meter_lines)
 
 
+def q_salted_agg_1h(spark, sf_dir):
+    """N10 skew path: two-phase salted aggregation must be value-equal
+    to the direct group-by (the oracle computes it directly) — salting
+    only changes physical distribution, never semantics."""
+    from logtrics_spark.operators.skew import salted_two_phase_agg
+
+    pts = _events_points(spark, sf_dir).withColumn(
+        "ws", (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+    )
+    out = salted_two_phase_agg(
+        pts,
+        keys=["source", "ws"],
+        fine_col="ts",
+        phase1_aggs=[F.count("*").alias("c"), F.sum("value").alias("s")],
+        phase2_aggs=[F.sum("c").alias("cnt"), F.sum("s").alias("sum_val")],
+        buckets=16,
+    )
+    return out.select("source", "ws", "cnt", _q("sum_val", 4).alias("sum_val"))
+
+
 def q_tokseq_stats(spark, sf_dir):
     """Per-sequence token profile over the array<int32> payload —
     all JVM array expressions, oracled by DuckDB list functions on the
@@ -597,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "embedding_dupes": q_embedding_dupes,
         "graphite_lines": q_graphite_lines,
+        "salted_agg_1h": q_salted_agg_1h,
         "tokseq_stats": q_tokseq_stats,
         "tokseq_vocab": q_tokseq_vocab,
         "tokseq_dedup": q_tokseq_dedup,
@@ -806,6 +827,13 @@ def oracle_sql() -> dict[str, str]:
         # computed once in Python (identical on the Spark side) so the
         # two engines' exp() implementations can't diverge.
         "meter_ewma_1h": _ewma_sql(),
+        "salted_agg_1h": """
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                   count(*) AS cnt,
+                   floor((sum(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS sum_val
+            FROM events GROUP BY 1, 2
+        """,
         # DuckDB list functions over the dumped token table.
         "tokseq_stats": f"""
             SELECT doc_id,
