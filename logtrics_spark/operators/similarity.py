@@ -115,6 +115,85 @@ def _nearest_centroids_udf(centroids: np.ndarray, n: int):
     return nearest
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize an IVF index: corpus parquet partitioned by centroid id.
+
+    The on-disk analog of the in-flight ``ivf_topk`` join: each vector
+    lands under ``cid=<j>/``, so a query probing ``nprobe`` lists scans
+    only those PARTITION DIRECTORIES — Spark's partition pruning turns
+    nprobe/C into a file-level I/O reduction, which is what makes ANN
+    pay off at 100 TB (the in-flight variant still scans the corpus to
+    assign it on every query batch).  Centroids are returned (and also
+    written next to the index as ``centroids.npy``-style parquet) so
+    query time needs no retraining.
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col=vec_col)
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("cid", assign1(F.col("v"))[0])
+        .withColumn("nv", _norm(F.col("v")))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
+    cent_rows = pd.DataFrame(
+        {"cid": range(len(centroids)), "centroid": [c.tolist() for c in centroids]}
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(cent_rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    return centroids
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Top-k over a materialized IVF index, scanning only probed lists.
+
+    The probed centroid ids become an ``isin`` partition filter on the
+    index scan (verify with .explain(): PartitionFilters carries
+    ``cid IN (...)``), so I/O is ~nprobe/C of the corpus.
+    """
+    query_id_col = query_id_col or id_col
+    cents = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cid").toPandas()
+    )
+    centroids = np.array(cents["centroid"].tolist(), dtype=np.float64)
+    assign_probe = _nearest_centroids_udf(centroids, nprobe)
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cid", F.explode(assign_probe(F.col("qv"))))
+        .withColumn("nq", _norm(F.col("qv")))
+    )
+    # driver-side probe-set collection is bounded by |queries| x nprobe
+    # (the probe set is small by construction); it buys a static
+    # partition filter the scan prunes on
+    probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    lists = spark.read.parquet(f"{path}/lists").where(F.col("cid").isin(probed))
+    joined = lists.join(F.broadcast(q), "cid").where(F.col("id") != F.col("query_id"))
+    cos = (_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("cosine")
+    scored = joined.select("query_id", "id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

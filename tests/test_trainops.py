@@ -302,3 +302,34 @@ def test_frame_sampling_plan(spark):
     exp = int(sum(np.ceil(d / 1000) for d in vids["duration_ms"]))
     assert len(frames) == exp
     assert (frames.groupby("media_id")["frame_ms"].min() == 0).all()
+
+
+def test_ivf_persistent_index_prunes_partitions(spark, embs, tmp_path):
+    """Materialized IVF: probes become partition filters on the index
+    scan (file-level I/O reduction), and nprobe=C equals brute force."""
+    from logtrics_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        query_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embs, path, n_centroids=8)
+    queries = embs.where("vec_id < 5")
+
+    out = query_ivf_index(spark, path, queries, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("cid IN" in ln or "cid#" in ln for ln in scan), plan
+    got = out.toPandas()
+    assert set(got["query_id"]) == set(range(5))
+    assert (got.groupby("query_id").size() == 5).all()
+
+    # probing every list degenerates to the exact answer
+    exact = cosine_topk(embs, queries, k=5).toPandas()
+    full = query_ivf_index(spark, path, queries, k=5, nprobe=8).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        full.sort_values(key)["id"].to_numpy()
+        == exact.sort_values(key)["id"].to_numpy()
+    ).all()
