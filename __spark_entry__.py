@@ -282,6 +282,21 @@ def q_similarity_ivf(spark, sf_dir):
     return got.select("query_id", "id", _q("cosine", 4).alias("cosine"), "rank")
 
 
+def q_similarity_ivf_store(spark, sf_dir):
+    """Persistent IVF index: build lists partitioned by centroid id,
+    query with partition-pruned probes.  nprobe == n_centroids makes
+    the result exact, sharing the brute-force oracle, while the full
+    store machinery (assignment write, centroid table, pruned scan)
+    executes."""
+    from logtrics_spark.operators.similarity import build_ivf_index, query_ivf_index
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = "/tmp/spark_graft_ivf_index"
+    build_ivf_index(embs, path, n_centroids=8)
+    got = query_ivf_index(spark, path, embs.where("vec_id < 5"), k=5, nprobe=8)
+    return got.select("query_id", "id", _q("cosine", 4).alias("cosine"), "rank")
+
+
 def q_asof_gauge(spark, sf_dir):
     """As-of join: each event gets the gauge-last of the most recent
     closed hourly window at or before its timestamp."""
@@ -611,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "meter_ewma_1h": q_meter_ewma_1h,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_ivf_store": q_similarity_ivf_store,
         "asof_gauge": q_asof_gauge,
         "lang_id": q_lang_id,
         "similarity_topk": q_similarity_topk,
@@ -917,6 +933,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # nprobe == n_centroids -> IVF degenerates to the exact top-k.
         "similarity_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qv AS DOUBLE[])) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, id, floor(cos * 10000.0 + 0.5 + 1e-6) / 10000.0 AS cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+              FROM scored)
+            SELECT query_id, id, cosine, rank FROM ranked WHERE rank <= 5
+        """,
+        "similarity_ivf_store": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
             scored AS (
               SELECT q.query_id, e.vec_id AS id,
