@@ -463,6 +463,28 @@ def q_tokseq_ngrams(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Reproducible training-mix sampling: membership is a pure function
+    of md5(doc_id), so DuckDB re-derives the exact same sample."""
+    from logtrics_spark.operators.sample import stratified_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # documents has no source column; stratify on a derived odd/even group
+    grouped = docs.withColumn(
+        "grp", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    )
+    out = stratified_mix(grouped, {"even": 0.25, "odd": 0.75}, by="grp")
+    return out.select("doc_id", "grp")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic context-window packing manifest over the token
+    table — window prefix sum, oracled by the same SQL in DuckDB."""
+    from logtrics_spark.operators.tokens import pack_sequences
+
+    return pack_sequences(_tokseq_raw(spark), budget=2048)
+
+
 # ------------------------------- rows-only (non-SQL-expressible) ops
 
 
@@ -638,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokseq_vocab": q_tokseq_vocab,
         "tokseq_dedup": q_tokseq_dedup,
         "tokseq_ngrams": q_tokseq_ngrams,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "tokseq_tiers": q_tokseq_tiers,
@@ -843,6 +867,26 @@ def oracle_sql() -> dict[str, str]:
         # computed once in Python (identical on the Spark side) so the
         # two engines' exp() implementations can't diverge.
         "meter_ewma_1h": _ewma_sql(),
+        "stratified_sample": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp
+              FROM documents)
+            SELECT doc_id, grp FROM g
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < CASE grp WHEN 'even' THEN '4000' ELSE 'c000' END
+        """,
+        "pack_sequences": f"""
+            WITH b AS (
+              SELECT source, doc_id, n_tok,
+                     CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                          / 2048) AS BIGINT) AS bin_id
+              FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet'))
+            SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS total_tok,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM b GROUP BY 1, 2
+        """,
         "salted_agg_1h": """
             SELECT event_type AS source,
                    CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,

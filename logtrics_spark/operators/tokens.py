@@ -82,6 +82,46 @@ def dedup_token_seqs(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    tokens_len_col: str = "n_tok",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic context-window packing plan (training batching).
+
+    Documents are laid out in ``id_col`` order within each ``by`` group
+    and assigned to the bin where their cumulative token count STARTS:
+    bin = floor((cumsum(n_tok) - n_tok) / budget).  The rule is a pure
+    function of the table (window prefix sum — no rand, no partition
+    dependence), so the packing is reproducible and SQL-oracle-able;
+    bins average ~budget tokens with bounded overflow (< max doc len).
+    Output: one row per (group, bin) with n_docs, total_tok, and the
+    first/last doc ids — the manifest a downstream token-concatenation
+    job consumes.
+
+    Scale note: the window prefix-sum sorts within each ``by``
+    partition; groups are the parallelism unit.  For a corpus whose
+    single group exceeds one task, pre-split groups (e.g. by day) —
+    packing order only needs to be deterministic, not global.
+    """
+    w = Window.partitionBy(by).orderBy(id_col)
+    start = F.sum(tokens_len_col).over(w) - F.col(tokens_len_col)
+    binned = df.select(
+        F.col(by),
+        F.col(id_col),
+        F.col(tokens_len_col),
+        F.floor(start / F.lit(budget)).alias("bin_id"),
+    )
+    return binned.groupBy(by, "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens_len_col).alias("total_tok"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     n: int = 3,

@@ -72,3 +72,53 @@ def test_ngram_counts_order_sensitive(spark):
     assert freq[(2, 3, 4)] == 1
     assert (3, 2, 1) in freq  # order-sensitive: reverse is its own gram
     assert sum(freq.values()) == 2 + 2 + 3  # n-k+1 grams per doc
+
+
+def test_deterministic_sample_reproducible(spark, tok):
+    from logtrics_spark.operators.sample import deterministic_sample
+
+    s1 = set(deterministic_sample(tok, 0.3).toPandas()["doc_id"])
+    s2 = set(deterministic_sample(tok.repartition(7), 0.3).toPandas()["doc_id"])
+    assert s1 == s2  # partition-layout independent
+    assert 0.2 < len(s1) / 1000 < 0.4  # ~rate
+    assert len(set(deterministic_sample(tok, 1.0).toPandas()["doc_id"])) == 1000
+    assert len(deterministic_sample(tok, 0.0).toPandas()) == 0
+
+
+def test_stratified_mix_rates_and_defaults(spark, tok):
+    from logtrics_spark.operators.sample import stratified_mix
+
+    out = stratified_mix(tok, {"web": 0.1, "books": 1.0}, by="source").toPandas()
+    n_by = out.groupby("source").size()
+    src = tok.toPandas().groupby("source").size()
+    assert n_by.get("books") == src["books"]  # rate 1.0 keeps everything
+    assert 0.02 < n_by.get("web", 0) / src["web"] < 0.25  # ~0.1
+    assert set(n_by.index) <= {"web", "books"}  # unlisted groups dropped
+    kept_all = stratified_mix(tok, {"web": 0.5}, by="source", default_rate=1.0).toPandas()
+    assert set(kept_all["source"]) == set(src.index)
+
+
+def test_pack_sequences_budget_and_coverage(spark, tok):
+    from logtrics_spark.operators.tokens import pack_sequences
+
+    packed = pack_sequences(tok, budget=4096).toPandas()
+    src = tok.select("source", "doc_id", "n_tok").toPandas()
+    # every doc accounted for exactly once
+    assert packed["n_docs"].sum() == len(src)
+    assert packed["total_tok"].sum() == src["n_tok"].sum()
+    # bins average near budget; overflow bounded by one doc length
+    max_doc = src["n_tok"].max()
+    inner = packed.sort_values(["source", "bin_id"]).groupby("source").apply(
+        lambda g: g.iloc[:-1], include_groups=False
+    )
+    # interior bins sit within one straddling-doc length of the budget:
+    # a doc starting late in bin k pushes its tokens past the boundary,
+    # shrinking bin k+1's span by the same amount
+    assert (inner["total_tok"] >= 4096 - max_doc).all()
+    assert (packed["total_tok"] <= 4096 + max_doc).all()
+    # deterministic across partition layouts
+    packed2 = pack_sequences(tok.repartition(9), budget=4096).toPandas()
+    key = ["source", "bin_id"]
+    a = packed.sort_values(key).reset_index(drop=True)
+    b = packed2.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
