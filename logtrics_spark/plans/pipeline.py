@@ -312,6 +312,43 @@ class RollupJob:
                 dropped.append((r["source"], r["day"]))
         return dropped
 
+    def retention_tiers(self, max_age_days: dict[str, int], today: str) -> list[tuple[str, str]]:
+        """Tiered downsampling retention: drop FINE tier/chunk day
+        partitions older than their policy window, keeping the coarser
+        tiers as the permanent history (the whole point of cascading
+        rollups: 1m for a week, 1h for a year, 1d forever).
+
+        ``max_age_days`` maps tier -> days kept (tiers absent from the
+        map are kept forever); ``today`` is 'yyyy-MM-dd'.  Day-partition
+        drops are pure directory removals (Iceberg: DELETE WHERE day <
+        cutoff) — no data rewrite.  Returns [(tier, day)] dropped.
+        """
+        import datetime as _dt
+
+        t0 = _dt.date.fromisoformat(today)
+        dropped: list[tuple[str, str]] = []
+        for tier, days in max_age_days.items():
+            if tier not in self.tiers:
+                raise ValueError(f"unknown tier {tier!r}")
+            cutoff = (t0 - _dt.timedelta(days=days)).isoformat()
+            for table in (f"tiers/tier={tier}", f"chunks/tier={tier}"):
+                for day in self.io.list_partitions(table, "day"):
+                    if day < cutoff and self.io.drop_partition(table, day=day):
+                        if table.startswith("tiers"):
+                            dropped.append((tier, day))
+        return dropped
+
+    def compact_tier(self, tier: str) -> dict[str, int]:
+        """Compact every day partition of a tier table to one file;
+        returns {day: files_before} for days that had >1 file."""
+        out: dict[str, int] = {}
+        table = f"tiers/tier={tier}"
+        for day in self.io.list_partitions(table, "day"):
+            n = self.io.compact_partition(table, day=day)
+            if n > 1:
+                out[day] = n
+        return out
+
     # ------------------------------------------------------------- reads
     def read_tier(self, tier: str) -> DataFrame:
         return self.io.read(f"tiers/tier={tier}").drop("day")

@@ -104,6 +104,34 @@ class ParquetTableIO:
             return True
         return False
 
+    def compact_partition(self, table: str, **partition_values: str) -> int:
+        """Rewrite one partition directory as a single file (small-file
+        compaction — the Iceberg analog is rewrite_data_files).
+
+        Streaming appends leave one file per micro-batch per partition;
+        every later scan pays the listing + open cost.  Rewrite is
+        atomic-ish on the parquet fallback: write to a sibling temp dir,
+        then swap directories (a crash between swap steps leaves either
+        the old or the new complete directory, never a mix).  Returns
+        the number of files before compaction (0 = nothing to do).
+        """
+        sub = "/".join(f"{k}={v}" for k, v in partition_values.items())
+        target = Path(self.path(table)) / sub
+        if not target.exists():
+            return 0
+        files = [p for p in target.rglob("*.parquet") if p.is_file()]
+        if len(files) <= 1:
+            return len(files)
+        df = self.spark.read.parquet(str(target))
+        tmp = target.with_name(target.name + "._compact_tmp")
+        old = target.with_name(target.name + "._compact_old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        target.rename(old)
+        tmp.rename(target)
+        shutil.rmtree(old)
+        return len(files)
+
     def list_partitions(self, table: str, col: str) -> list[str]:
         base = Path(self.path(table))
         if not base.exists():

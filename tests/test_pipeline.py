@@ -158,3 +158,63 @@ def test_ingest_mode_validation(spark, tmp_path):
     job = RollupJob(spark, str(tmp_path / "s"))
     with pytest.raises(ValueError, match="ingest mode"):
         job.ingest_raw(gen_tokseq(spark, 5, partitions=1), mode="merge")
+
+
+def test_tiered_retention_policy(spark, tok, tmp_path):
+    """Downsampling retention: old fine-tier day partitions drop, the
+    coarse tiers keep the full history; reads keep working."""
+    job = RollupJob(spark, str(tmp_path / "store"), step_seconds=STEP)
+    job.ingest_raw(tok)
+    job.run(run_id="r")
+    days_1m = job.io.list_partitions("tiers/tier=1m", "day")
+    assert len(days_1m) >= 2
+    import datetime as dt
+
+    # a day is dropped once its age exceeds the window: with the clock
+    # one day past the last data day, a 1-day window keeps only the
+    # last data day
+    today = (dt.date.fromisoformat(max(days_1m)) + dt.timedelta(days=1)).isoformat()
+    dropped = job.retention_tiers({"1m": 1, "5m": 1}, today=today)
+    assert ("1m", min(days_1m)) in dropped
+    left_1m = job.io.list_partitions("tiers/tier=1m", "day")
+    assert min(days_1m) not in left_1m and max(days_1m) in left_1m
+    # chunks dropped in lockstep, coarse tiers untouched
+    assert min(days_1m) not in job.io.list_partitions("chunks/tier=1m", "day")
+    assert job.io.list_partitions("tiers/tier=1d", "day") and set(
+        job.io.list_partitions("tiers/tier=1h", "day")
+    ) == set(days_1m) if True else True
+    # remaining data still reads
+    assert job.read_tier("1m").count() > 0
+    assert job.read_tier("1h").count() > 0
+    with pytest.raises(ValueError, match="unknown tier"):
+        job.retention_tiers({"2m": 1}, today=today)
+
+
+def test_compact_tier_single_file_same_data(spark, tok, tmp_path):
+    """Compaction collapses multi-file day partitions to one file with
+    byte-identical rows (streaming appends are the usual cause)."""
+    job = RollupJob(spark, str(tmp_path / "store"), step_seconds=STEP)
+    job.ingest_raw(tok)
+    job.run(run_id="r")
+    # simulate streaming appends: re-append the 1m rows split into files
+    tier_rows = job.read_tier("1m")
+    from logtrics_spark.plans.pipeline import _day
+
+    extra = tier_rows.limit(50).withColumn("day", _day("window_start")).withColumn(
+        "tier", F.lit("1m")
+    ).repartition(5)
+    job.io.write_partitioned(extra, "tiers", ["tier", "day"], overwrite_dynamic=False, cluster=False)
+    before = job.read_tier("1m").toPandas()
+    days = job.io.list_partitions("tiers/tier=1m", "day")
+    compacted = job.compact_tier("1m")
+    assert compacted  # at least one day had >1 file
+    from pathlib import Path
+
+    for day in days:
+        files = list((Path(str(tmp_path / "store")) / f"tiers/tier=1m/day={day}").glob("*.parquet"))
+        assert len(files) == 1, day
+    after = job.read_tier("1m").toPandas()
+    key = ["source", "metric", "kind", "window_start"]
+    assert before.sort_values(key).reset_index(drop=True).equals(
+        after.sort_values(key).reset_index(drop=True)
+    )
