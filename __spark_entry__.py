@@ -477,6 +477,24 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "grp")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Within-doc trigram repetition (loop/spam quality signal) over the
+    token table, with planted degenerate docs; DuckDB recomputes the
+    distinct/total gram counts from the same dump."""
+    from logtrics_spark.operators.tokens import repetition_stats
+
+    tok = _tokseq_raw(spark)
+    # planted degenerate sequences: token arrays collapsed to one value
+    looped = tok.where(F.col("doc_id") < "doc000000000020").select(
+        F.concat(F.lit("loop"), "doc_id").alias("doc_id"),
+        F.transform("tokens", lambda _: F.lit(7).cast("int")).alias("tokens"),
+    )
+    r = repetition_stats(tok.select("doc_id", "tokens").unionByName(looped), n=3)
+    return r.select(
+        "doc_id", "n_grams", "n_distinct", _q("repetition_ratio", 6).alias("repetition_ratio")
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic context-window packing manifest over the token
     table — window prefix sum, oracled by the same SQL in DuckDB."""
@@ -662,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokseq_ngrams": q_tokseq_ngrams,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "tokseq_tiers": q_tokseq_tiers,
@@ -875,6 +894,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, grp FROM g
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                   < CASE grp WHEN 'even' THEN '4000' ELSE 'c000' END
+        """,
+        "repetition_stats": f"""
+            WITH base AS (
+              SELECT doc_id, tokens FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet')),
+            u AS (
+              SELECT doc_id, tokens FROM base
+              UNION ALL
+              SELECT 'loop' || doc_id,
+                     list_transform(tokens, x -> 7)
+              FROM base WHERE doc_id < 'doc000000000020'),
+            g AS (
+              SELECT doc_id, array_to_string(tokens[i:i+2], ',') AS gram
+              FROM u, unnest(range(1, len(tokens) - 1)) AS r(i)),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     count(DISTINCT gram) AS n_distinct
+              FROM g GROUP BY 1)
+            SELECT u.doc_id,
+                   coalesce(per.n_grams, 0) AS n_grams,
+                   coalesce(per.n_distinct, 0) AS n_distinct,
+                   floor(coalesce(1.0 - per.n_distinct * 1.0 / per.n_grams, 0.0)
+                         * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS repetition_ratio
+            FROM u LEFT JOIN per USING (doc_id)
         """,
         "pack_sequences": f"""
             WITH b AS (

@@ -82,6 +82,47 @@ def dedup_token_seqs(
     )
 
 
+def repetition_stats(
+    df: DataFrame, n: int = 3, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document n-gram repetition — the classic loop/spam signal
+    (a doc whose trigrams are mostly duplicates is boilerplate or a
+    degenerate generation, and poisons training mixes).
+
+    repetition_ratio = 1 - distinct_ngrams / total_ngrams, 0 for docs
+    shorter than n tokens.  Same codegen explode+window shape as
+    ngram_counts, aggregated per doc with count / approx-free distinct.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(tokens_col)).alias("pos", "t0")
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    grams = exploded.select(
+        "id",
+        F.array(F.col("t0"), *[F.lead("t0", j).over(win) for j in range(1, n)]).alias(
+            "gram"
+        ),
+    ).where(F.element_at("gram", n).isNotNull())
+    per_doc = grams.groupBy("id").agg(
+        F.count("*").alias("n_grams"),
+        F.count_distinct("gram").alias("n_distinct"),
+    )
+    ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams").cast(
+        "double"
+    )
+    # docs shorter than n tokens produce no grams -> restore with ratio 0
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce(ratio, F.lit(0.0)).alias("repetition_ratio"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,

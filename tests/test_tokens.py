@@ -122,3 +122,23 @@ def test_pack_sequences_budget_and_coverage(spark, tok):
     a = packed.sort_values(key).reset_index(drop=True)
     b = packed2.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_repetition_stats_signal(spark):
+    from logtrics_spark.operators.tokens import repetition_stats
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["clean", "loop", "short"],
+            "tokens": [[1, 2, 3, 4, 5, 6], [7, 7, 7, 7, 7, 7], [1, 2]],
+        }
+    )
+    got = (
+        repetition_stats(spark.createDataFrame(rows), n=3)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc["clean", "repetition_ratio"] == 0.0  # all grams distinct
+    assert got.loc["loop", "n_grams"] == 4 and got.loc["loop", "n_distinct"] == 1
+    assert got.loc["loop", "repetition_ratio"] == 0.75
+    assert got.loc["short", "n_grams"] == 0 and got.loc["short", "repetition_ratio"] == 0.0
