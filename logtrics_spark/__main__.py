@@ -1,0 +1,118 @@
+"""CLI — the daemon-flavored face of the engine (reference:
+cmd/logtrics/main.go's cobra CLI with config + mode flags).
+
+    python -m logtrics_spark rollup   --input raw.parquet --store ./store
+    python -m logtrics_spark graphite --store ./store --tier 1h \\
+                                      --host 127.0.0.1 --port 2024
+    python -m logtrics_spark config-check ./config.toml
+
+``rollup`` runs the resumable batch job (ingest -> tiers -> Gorilla ->
+lineage [-> retention]); ``graphite`` formats a stored tier as
+plaintext lines and ships them over TCP (K2); ``config-check``
+validates a reference-shaped TOML.  Spark session settings come from
+logtrics_spark.session (SPARK_GRAFT_CPUS etc.).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_session(app_name: str):
+    """Reuse an already-active session (library/test embedding) — only a
+    session WE create is ours to stop."""
+    from pyspark.sql import SparkSession
+
+    from logtrics_spark.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing, False
+    spark = get_spark(app_name=app_name)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark, True
+
+
+def _cmd_rollup(args) -> int:
+    from logtrics_spark.plans.pipeline import RollupJob
+
+    spark, own = _get_session("logtrics-rollup")
+    tiers = args.tiers.split(",") if args.tiers else None
+    job = RollupJob(spark, args.store, tiers=tiers, step_seconds=args.step_seconds)
+    if args.input:
+        job.ingest_raw(spark.read.parquet(args.input), mode=args.ingest_mode)
+    stats = job.run(seal_before=args.seal_before)
+    dropped = job.retention() if args.retention else []
+    print(json.dumps({"sealed_units": stats, "raw_partitions_dropped": len(dropped)}))
+    if own:
+        spark.stop()
+    return 0
+
+
+def _cmd_graphite(args) -> int:
+    from logtrics_spark.plans.pipeline import RollupJob
+    from logtrics_spark.sinks.graphite import send_graphite_tcp, to_graphite_lines
+
+    spark, own = _get_session("logtrics-graphite")
+    job = RollupJob(spark, args.store)
+    lines = to_graphite_lines(job.read_tier(args.tier), args.tier, prefix=args.prefix)
+    if args.dry_run:
+        for r in lines.limit(args.limit).collect():
+            print(r["line"])
+    else:
+        send_graphite_tcp(lines, args.host, args.port)
+    if own:
+        spark.stop()
+    return 0
+
+
+def _cmd_config_check(args) -> int:
+    from logtrics_spark.config import ConfigError, load_toml
+
+    try:
+        conf = load_toml(args.path)
+    except (ConfigError, OSError) as e:
+        print(f"invalid: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(conf, default=str, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="logtrics_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("rollup", help="run the resumable batch rollup job")
+    r.add_argument("--input", help="token-table parquet to ingest (optional)")
+    r.add_argument("--store", required=True, help="store root directory")
+    r.add_argument("--tiers", help="comma list, default 1m,5m,1h,1d")
+    r.add_argument("--step-seconds", type=int, default=1)
+    r.add_argument("--seal-before", help="only seal days < this yyyy-MM-dd")
+    r.add_argument("--ingest-mode", default="overwrite_partitions",
+                   choices=["overwrite_partitions", "append"])
+    r.add_argument("--retention", action="store_true",
+                   help="drop fully-sealed raw partitions after the run")
+    r.set_defaults(fn=_cmd_rollup)
+
+    g = sub.add_parser("graphite", help="emit a stored tier as Graphite plaintext")
+    g.add_argument("--store", required=True)
+    g.add_argument("--tier", default="1h")
+    g.add_argument("--host", default="127.0.0.1")
+    g.add_argument("--port", type=int, default=2024)
+    g.add_argument("--prefix", default="logtrics")
+    g.add_argument("--dry-run", action="store_true", help="print lines instead")
+    g.add_argument("--limit", type=int, default=20)
+    g.set_defaults(fn=_cmd_graphite)
+
+    c = sub.add_parser("config-check", help="validate a reference-shaped TOML")
+    c.add_argument("path")
+    c.set_defaults(fn=_cmd_config_check)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

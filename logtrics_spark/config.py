@@ -44,6 +44,65 @@ class ConfigError(ValueError):
     pass
 
 
+# reference Configuration struct fields (config/config.go:23-59) — the
+# accepted top-level TOML surface; unknown top-level keys error like the
+# rule-level merge does
+TOML_TOP_KEYS = {
+    "modes",
+    "expression",
+    "scriptfile",
+    "scriptdir",
+    "buffersize",
+    "graphite",
+    "udp",
+    "tcp",
+    "logging",
+}
+VALID_MODES = {"console", "udp", "tcp", "file"}  # + our filetail (S4)
+VALID_LOG_LEVELS = {"fatal", "error", "warn", "info", "debug", "trace"}
+
+
+def load_toml(path: str) -> dict[str, Any]:
+    """Load a reference-shaped config.toml over the engine DEFAULTS.
+
+    Accepts exactly the reference's TOML surface
+    (examples/config.toml + config/config.go:23-59): top-level
+    modes/expression/scriptfile/scriptdir/buffersize, and the
+    graphite/udp/tcp/logging tables.  Sections merge key-by-key over
+    DEFAULTS (so our engine-side graphite keys — tiers, chunk_span,
+    store — keep their defaults next to the reference's
+    host/port/interval/debug).  Unknown top-level keys and invalid
+    modes/log levels raise ConfigError, mirroring the reference's
+    strict rule-level merge.
+    """
+    import tomllib
+
+    with open(path, "rb") as fh:
+        raw = tomllib.load(fh)
+    unknown = set(raw) - TOML_TOP_KEYS
+    if unknown:
+        raise ConfigError(f"unknown config keys: {sorted(unknown)}")
+    conf = copy.deepcopy(DEFAULTS)
+    for key, value in raw.items():
+        if key == "buffersize":
+            conf["buffer"]["size"] = int(value)
+        elif isinstance(value, dict):
+            conf.setdefault(key, {})
+            conf[key].update(value)
+        else:
+            conf[key] = value
+    modes = conf.get("modes") or []
+    bad = set(modes) - VALID_MODES
+    if bad:
+        raise ConfigError(f"invalid modes {sorted(bad)}; choices {sorted(VALID_MODES)}")
+    level = conf.get("logging", {}).get("level")
+    if level is not None and level not in VALID_LOG_LEVELS:
+        raise ConfigError(
+            f"invalid logging level {level!r}; choices {sorted(VALID_LOG_LEVELS)}"
+        )
+    return conf
+
+
 @dataclass
 class EngineConfig:
     conf: dict[str, Any] = field(default_factory=lambda: copy.deepcopy(DEFAULTS))

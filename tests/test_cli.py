@@ -1,0 +1,45 @@
+"""CLI smoke tests (python -m logtrics_spark ...)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from logtrics_spark.__main__ import main
+from logtrics_spark.datagen import gen_tokseq
+
+
+def test_cli_rollup_and_graphite_dry_run(spark, tmp_path, capsys):
+    raw = str(tmp_path / "tok.parquet")
+    gen_tokseq(spark, 500, partitions=2).write.parquet(raw)
+    store = str(tmp_path / "store")
+
+    rc = main(["rollup", "--input", raw, "--store", store, "--tiers", "1m,1h"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sealed_units"]["1m"] >= 1 and out["sealed_units"]["1h"] >= 1
+
+    rc = main(
+        ["graphite", "--store", store, "--tier", "1h", "--dry-run", "--limit", "5"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 5
+    assert all(len(ln.split(" ")) == 3 and ln.startswith("logtrics.") for ln in lines)
+
+
+def test_cli_config_check(tmp_path, capsys):
+    ok = tmp_path / "c.toml"
+    ok.write_text('modes = ["tcp"]\n[graphite]\nport = 2024\n')
+    assert main(["config-check", str(ok)]) == 0
+    assert json.loads(capsys.readouterr().out)["graphite"]["port"] == 2024
+
+    bad = tmp_path / "b.toml"
+    bad.write_text("nonsense = true\n")
+    assert main(["config-check", str(bad)]) == 1
+
+
+def test_cli_requires_subcommand():
+    with pytest.raises(SystemExit):
+        main([])
