@@ -108,18 +108,40 @@ class _BitReader:
 
 
 def _pack_codes(vals: np.ndarray, nbits: np.ndarray) -> bytes:
-    """Pack MSB-first variable-length codes (<=64 bits each) into bytes."""
+    """Pack MSB-first variable-length codes (<=64 bits each) into bytes.
+
+    O(#codes), not O(#bits): each code lands in at most two adjacent
+    64-bit words; the high/low contributions are scattered with
+    np.add.at (codes never overlap, so add == bitwise-or).  Matches the
+    _BitWriter layout exactly (MSB-first, trailing zero padding).
+    """
     nb = nbits.astype(np.int64)
+    keep = nb > 0
+    if not keep.all():
+        nb = nb[keep]
+        vals = vals[keep]
     total = int(nb.sum())
     if total == 0:
         return b""
-    starts = np.cumsum(nb) - nb
-    intra = np.arange(total, dtype=np.int64) - np.repeat(starts, nb)
-    shift = (np.repeat(nb, nb) - 1 - intra).astype(np.uint64)
-    bits = ((np.repeat(vals.astype(np.uint64), nb) >> shift) & np.uint64(1)).astype(
-        np.uint8
-    )
-    return np.packbits(bits).tobytes()
+    v = vals.astype(np.uint64)
+    off = np.cumsum(nb) - nb
+    w = off >> 6
+    b = off & 63
+    rem = 64 - b  # bits available in the first word
+    hi_bits = np.minimum(nb, rem)
+    lo_bits = (nb - hi_bits).astype(np.uint64)
+
+    hi_val = (v >> lo_bits) << (rem - hi_bits).astype(np.uint64)
+    has_lo = lo_bits > 0
+    shift_lo = np.where(has_lo, np.uint64(64) - lo_bits, np.uint64(0))
+    lo_val = np.where(has_lo, v << shift_lo, np.uint64(0))
+
+    nwords = (total + 63) >> 6
+    words = np.zeros(nwords + 1, dtype=np.uint64)
+    np.add.at(words, w, hi_val)
+    if has_lo.any():
+        np.add.at(words, w[has_lo] + 1, lo_val[has_lo])
+    return words.byteswap().tobytes()[: (total + 7) >> 3]
 
 
 def _zero_run(buf: bytes, pos: int, max_bits: int) -> int:
@@ -302,20 +324,95 @@ def _clz64(x: np.ndarray) -> np.ndarray:
     return n - x.astype(np.int64)  # x is 0 or 1 here; nonzero -> one more
 
 
-def _encode_vals_codes(bits: np.ndarray) -> bytes:
-    """Vectorized value encoder: xor/lz/tz/ml precomputed with numpy;
-    only the (inherently sequential) window-state walk stays in Python,
-    over plain int lists.  Bit-identical to _encode_vals."""
+def _xor_stats(bits: np.ndarray):
     b = bits.astype(np.uint64)
-    if len(b) <= 1:
-        return b""
     xor = b[1:] ^ b[:-1]
     nz = xor != np.uint64(0)
     lz = np.minimum(_clz64(xor), 31)
     low = xor & (~xor + np.uint64(1))  # lowest set bit
     tz = np.where(nz, 63 - _clz64(low), 0)
     ml = (64 - lz - tz).astype(np.int64)
+    return xor, nz, lz, tz, ml
 
+
+def _encode_vals_codes(bits: np.ndarray, policy: str = "fixed") -> bytes:
+    """Value encoder.  The control-bit format lets the ENCODER pick any
+    (leading, length) window policy — the decoder just follows headers:
+
+    - policy='greedy': the paper's adaptive walk (reuse the previous
+      window while values fit).  Sequential by construction; kept as
+      the format spec and byte-pinned against _encode_vals by the
+      differential test.
+    - policy='fixed' (default): one chunk-level window covering the
+      p10 leading / p90 ending bit of all xors; values outside it emit
+      their own one-off header, and the next fitting value re-declares
+      the chunk window.  Every decision is a numpy mask — no Python
+      per-element loop — at a small size cost (~10% of values pay a
+      13-bit header; payloads are window-width instead of per-value
+      width).  Same decoder, bit-exact round-trip either way.
+    """
+    if len(bits) <= 1:
+        return b""
+    xor, nz, lz, tz, ml = _xor_stats(bits)
+    if policy == "greedy":
+        return _encode_vals_codes_greedy(xor, lz, tz, ml)
+
+    m = len(xor)
+    # two code slots per element: control/header, then payload
+    vals1 = np.zeros(m, dtype=np.uint64)
+    nbits1 = np.ones(m, dtype=np.uint8)  # default: the single '0' bit
+    vals2 = np.zeros(m, dtype=np.uint64)
+    nbits2 = np.zeros(m, dtype=np.uint8)
+
+    idx = np.flatnonzero(nz)
+    if len(idx):
+        lzs = lz[idx]
+        ends = 64 - tz[idx]
+        lead_w = int(min(31, np.quantile(lzs, 0.10)))
+        end_w = int(min(64, max(np.quantile(ends, 0.90), lead_w + 1)))
+        mlen_w = end_w - lead_w
+
+        fit = (lzs >= lead_w) & (ends <= end_w)
+        # first nonzero, and any fit following an outlier, must
+        # (re)declare the chunk window via a full header
+        prev_outlier = np.empty(len(idx), dtype=bool)
+        prev_outlier[0] = True
+        np.logical_not(fit[:-1], out=prev_outlier[1:])
+        header_w = fit & prev_outlier
+        plain = fit & ~prev_outlier
+        outlier = ~fit
+
+        w_header = np.uint64((0b11 << 11) | (lead_w << 6) | (mlen_w - 1))
+        w_payload = (xor[idx] >> np.uint64(64 - lead_w - mlen_w))
+
+        p = idx[plain]
+        vals1[p] = np.uint64(0b10)
+        nbits1[p] = 2
+        vals2[p] = w_payload[plain]
+        nbits2[p] = mlen_w
+
+        h = idx[header_w]
+        vals1[h] = w_header
+        nbits1[h] = 13
+        vals2[h] = w_payload[header_w]
+        nbits2[h] = mlen_w
+
+        o = idx[outlier]
+        vals1[o] = (
+            np.uint64(0b11 << 11)
+            | (lz[o].astype(np.uint64) << np.uint64(6))
+            | (ml[o] - 1).astype(np.uint64)
+        )
+        nbits1[o] = 13
+        vals2[o] = xor[o] >> tz[o].astype(np.uint64)
+        nbits2[o] = ml[o]
+
+    all_vals = np.column_stack([vals1, vals2]).ravel()
+    all_nbits = np.column_stack([nbits1, nbits2]).ravel()
+    return _pack_codes(all_vals, all_nbits)
+
+
+def _encode_vals_codes_greedy(xor, lz, tz, ml) -> bytes:
     xor_l = xor.tolist()
     lz_l = lz.tolist()
     tz_l = tz.tolist()

@@ -169,4 +169,4 @@ def test_vectorized_encoders_bit_identical_to_reference():
         view = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
         w = _BitWriter()
         _encode_vals(w, view)
-        assert w.getvalue() == _encode_vals_codes(view), vals[:5]
+        assert w.getvalue() == _encode_vals_codes(view, policy="greedy"), vals[:5]
