@@ -11,10 +11,14 @@ Conventions keeping the value-hash comparison stable:
 
 The events table stands in for the metric-point stream (source =
 event_type), documents for the regex/text corpus, embeddings for the
-similarity ops — per FIXTURES.md F7.  Token-table pipeline ops whose
-input is synthesized (no DuckDB view exists) and genuinely non-SQL ops
-(Gorilla, minhash/simhash LSH, multimodal) have no oracle entry and get
-the driver's rows-only check; their bit-level oracles live in tests/.
+similarity ops — per FIXTURES.md F7.  Every queries() entry has a
+DuckDB oracle: token-table ops dump their synthesized input to parquet
+(TOKSEQ_RAW_DUMP / TOKSEQ_DUMP) so both engines read identical bytes;
+the LSH pairs oracles brute-force exact Jaccard; Gorilla round-trips
+against the 1m rollup SQL; multimodal checks its closed-form metadata.
+Integer aggregates in oracle SQL must be CAST(... AS BIGINT) — DuckDB
+promotes integer SUM to HUGEINT which pandas materializes as float64
+and the driver's str-based value hash then diverges from Spark's int64.
 """
 
 from __future__ import annotations
@@ -497,10 +501,18 @@ def q_repetition_stats(spark, sf_dir):
 
 def q_pack_sequences(spark, sf_dir):
     """Deterministic context-window packing manifest over the token
-    table — window prefix sum, oracled by the same SQL in DuckDB."""
+    table — window prefix sum WITHIN (source, day), oracled by the same
+    SQL in DuckDB.  day derives from the pipeline's doc_id-ordered
+    timestamp (extract.with_ts, 60s steps -> ~14 days at 20k docs), kept
+    as a tz-free epoch-day BIGINT so both engines compute identical
+    integer arithmetic.  The composite key is the scale contract: no
+    single source ever funnels through one sort task."""
+    from logtrics_spark.operators.extract import with_ts
     from logtrics_spark.operators.tokens import pack_sequences
 
-    return pack_sequences(_tokseq_raw(spark), budget=2048)
+    tok = with_ts(_tokseq_raw(spark), step_seconds=60)
+    tok = tok.withColumn("day", F.floor(F.unix_timestamp("ts") / 86400).cast("long"))
+    return pack_sequences(tok, budget=2048, by=["source", "day"])
 
 
 # ------------------------------- rows-only (non-SQL-expressible) ops
@@ -919,15 +931,23 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN per USING (doc_id)
         """,
         "pack_sequences": f"""
-            WITH b AS (
+            WITH t AS (
+              -- same ts derivation as extract.with_ts: epoch(2024-01-01)
+              -- + doc-seq * 60s, bucketed to tz-free epoch days
               SELECT source, doc_id, n_tok,
-                     CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                     CAST(floor((1704067200 + CAST(substring(doc_id, 4, 12) AS BIGINT) * 60)
+                          / 86400) AS BIGINT) AS day
+              FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet')),
+            b AS (
+              SELECT source, day, doc_id, n_tok,
+                     CAST(floor((sum(n_tok) OVER (PARTITION BY source, day ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
                           / 2048) AS BIGINT) AS bin_id
-              FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet'))
-            SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS total_tok,
+              FROM t)
+            SELECT source, day, bin_id, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tok,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
-            FROM b GROUP BY 1, 2
+            FROM b GROUP BY 1, 2, 3
         """,
         "salted_agg_1h": """
             SELECT event_type AS source,
@@ -1010,7 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "tokseq_tiers": f"""
             SELECT source, metric, kind,
                    CAST(floor(es/3600)*3600 AS BIGINT) AS ws,
-                   count(*) AS cnt, sum(value) AS sum,
+                   count(*) AS cnt, CAST(sum(value) AS BIGINT) AS sum,
                    min(value) AS min, max(value) AS max,
                    floor((avg(value)) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS avg,
                    arg_max(value, es) AS last

@@ -169,6 +169,14 @@ def minhash_lsh_dupes(
     buckets.  The join key is (band, band_hash) so only same-bucket
     pairs materialize; a pathological bucket (thousands of identical
     docs) is the data telling you they ARE duplicates.
+
+    Caching contract: when est_jaccard is computed the signature frame
+    is persisted (reused by the banding pass + two joins).  The handle
+    is exposed as ``result.persisted_sigs`` — long-lived sessions that
+    call this repeatedly should ``result.persisted_sigs.unpersist()``
+    once the returned plan has been materialized, or cached state
+    accumulates until LRU eviction.  With ``include_est=False`` and no
+    threshold nothing is persisted.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -241,6 +249,7 @@ def minhash_lsh_dupes(
     )
     if threshold is not None:
         out = out.where(F.col("est_jaccard") >= threshold)
+    out.persisted_sigs = sigs  # cleanup handle (see docstring)
     return out
 
 
@@ -283,25 +292,28 @@ def simhash_dupes(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    band_bits: int = 8,
+    band_bits: int = 16,
     max_hamming: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via the band-split trick on 64-bit
     simhashes: with B = 64/band_bits bands, any pair at Hamming distance
     <= B-1 must agree exactly on at least one band (pigeonhole), so the
     per-band equi-join is guaranteed-recall up to that radius.  The
-    default 8 bands of 8 bits covers hamming <= 7; pass band_bits=16 for
-    a cheaper join that only guarantees hamming <= 3.  Downstream
-    filters must not exceed the band guarantee (the round-1 bug: a
-    hamming<=8 filter over 4x16-bit bands silently lost pairs with 4-8
-    differing bits spread across bands).
+    default is the Manku et al. WWW'07 operating point — 4 bands of 16
+    bits, guaranteed recall at hamming <= 3, 2^16 bucket values per band
+    so clustered corpora don't pair up quadratically inside a band.
+    Pass band_bits=8 (radius 7) only when the wider guarantee is worth
+    the dense 256-value band space (at web scale it is N^2/256 candidate
+    rows).  Downstream filters must not exceed the band guarantee (the
+    round-1 bug: a hamming<=8 filter over 4x16-bit bands silently lost
+    pairs with 4-8 differing bits spread across bands).
     Output: (id_a, id_b, hamming).
     """
     return simhash_band_pairs(simhash64(df, text_col, id_col), band_bits, max_hamming)
 
 
 def simhash_band_pairs(
-    sims: DataFrame, band_bits: int = 8, max_hamming: int | None = None
+    sims: DataFrame, band_bits: int = 16, max_hamming: int | None = None
 ) -> DataFrame:
     """(id, simhash) -> candidate pairs agreeing on >=1 band.
 
@@ -311,10 +323,10 @@ def simhash_band_pairs(
     between deduplicating a few thousand rows and a few million —
     narrow bands make dense buckets (at band_bits=8 a clustered corpus
     pairs up quadratically within each 256-value band space), so the
-    hamming cut must run streaming in the join stage.  Scale note: a
-    guarantee radius of 7 over 64 bits forces 8-bit bands and is
-    inherently dense; at web scale prefer band_bits=16 (radius 3, the
-    Manku et al. WWW'07 operating point).
+    hamming cut must run streaming in the join stage.  The default is
+    band_bits=16 (radius 3, 2^16 buckets/band — Manku et al. WWW'07);
+    a guarantee radius of 7 over 64 bits forces 8-bit bands and is
+    inherently dense, so callers must opt into it explicitly.
 
     Split out from ``simhash_dupes`` so the pigeonhole guarantee is
     directly testable on crafted simhash values (tests/test_trainops.py).

@@ -127,7 +127,7 @@ def pack_sequences(
     df: DataFrame,
     budget: int = 2048,
     tokens_len_col: str = "n_tok",
-    by: str = "source",
+    by: str | list[str] = "source",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic context-window packing plan (training batching).
@@ -142,20 +142,25 @@ def pack_sequences(
     first/last doc ids — the manifest a downstream token-concatenation
     job consumes.
 
-    Scale note: the window prefix-sum sorts within each ``by``
-    partition; groups are the parallelism unit.  For a corpus whose
-    single group exceeds one task, pre-split groups (e.g. by day) —
-    packing order only needs to be deterministic, not global.
+    Scale note: each ``by`` group funnels through ONE sort task (window
+    prefix sum), so groups must be task-sized — at corpus scale pass a
+    composite key, e.g. ``by=["source", "day"]`` with day derived from
+    the same doc_id-ordered timestamp the pipeline uses (extract.with_ts)
+    so the split stays a pure function of the table.  A bare hot source
+    ("web" is ~40% of the generated corpus) as the only key is the
+    anti-pattern; packing order only needs to be deterministic within a
+    group, not global.
     """
-    w = Window.partitionBy(by).orderBy(id_col)
+    keys = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*keys).orderBy(id_col)
     start = F.sum(tokens_len_col).over(w) - F.col(tokens_len_col)
     binned = df.select(
-        F.col(by),
+        *[F.col(k) for k in keys],
         F.col(id_col),
         F.col(tokens_len_col),
         F.floor(start / F.lit(budget)).alias("bin_id"),
     )
-    return binned.groupBy(by, "bin_id").agg(
+    return binned.groupBy(*keys, "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum(tokens_len_col).alias("total_tok"),
         F.min(id_col).alias("first_doc"),

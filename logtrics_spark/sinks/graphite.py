@@ -131,6 +131,11 @@ def to_graphite_lines(
         if exprs:
             per_kind.append((kind, F.array(*exprs)))
 
+    if not per_kind:
+        # tier_df carries none of the mapped value columns: no field can
+        # be emitted for ANY kind — return an empty lines frame rather
+        # than exploding a null literal (which raises at analysis time)
+        return tier_df.sparkSession.createDataFrame([], "line string")
     lines_array = None
     for kind, arr in per_kind:
         lines_array = (

@@ -8,12 +8,15 @@ an Iceberg `PARTITIONED BY (source, day)` table would produce.  Swapping
 in Iceberg is a constructor change (`writeTo(...).overwritePartitions()`
 / `DELETE WHERE`), not a pipeline change.
 
-Layout under the store root:
+Layout under the store root (source is a DATA column in tier/chunk
+tables — partitioning by (tier, day) keeps file counts ~sources-times
+lower and the day-level dynamic overwrite unit-aligned, pipeline.py
+phase 2):
 
-    raw/                    source=<s>/day=<d>/*.parquet
-    tier=<T>/               day=<d>/*.parquet          (rollup rows)
-    chunks/tier=<T>/        day=<d>/source=<s>/*.parquet (Gorilla chunks)
-    lineage/                append-only parquet log
+    raw/       source=<s>/day=<d>/*.parquet
+    tiers/     tier=<T>/day=<d>/*.parquet   (rollup rows)
+    chunks/    tier=<T>/day=<d>/*.parquet   (Gorilla chunk rows)
+    lineage/   append-only parquet log
 
 Idempotent seal protocol (SURVEY.md §7.7 hard part #2), no transactions
 needed: chunk/tier writes use dynamic partition overwrite keyed by the
@@ -43,6 +46,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("sealed", T.BooleanType(), False),
         T.StructField("chunk_file", T.StringType(), True),
         T.StructField("run_id", T.StringType(), True),
+        # monotonic append sequence: latest-wins in sealed_units orders on
+        # this, NOT on the random run_id (a replay/unseal feature ordering
+        # on uuid text would resurrect arbitrary old seals)
+        T.StructField("seal_seq", T.LongType(), True),
     ]
 )
 
@@ -109,23 +116,32 @@ class ParquetTableIO:
         compaction — the Iceberg analog is rewrite_data_files).
 
         Streaming appends leave one file per micro-batch per partition;
-        every later scan pays the listing + open cost.  Rewrite is
-        atomic-ish on the parquet fallback: write to a sibling temp dir,
-        then swap directories (a crash between swap steps leaves either
-        the old or the new complete directory, never a mix).  Returns
-        the number of files before compaction (0 = nothing to do).
+        every later scan pays the listing + open cost.  The swap is NOT
+        atomic on the parquet fallback: between target.rename(old) and
+        tmp.rename(target) the partition path does not exist, so
+        compaction must not run concurrently with readers (Iceberg's
+        snapshot commit removes this constraint).  Crash recovery: the
+        next call heals leftovers — a missing target with a complete
+        `._compact_old` sibling is restored (the `._compact_tmp` data is
+        discarded; it is a pure rewrite, nothing is lost), and stale
+        sibling dirs are removed before a new swap.  Returns the number
+        of files before compaction (0 = nothing to do).
         """
         sub = "/".join(f"{k}={v}" for k, v in partition_values.items())
         target = Path(self.path(table)) / sub
+        tmp = target.with_name(target.name + "._compact_tmp")
+        old = target.with_name(target.name + "._compact_old")
+        # heal a crash inside a previous swap window
+        if not target.exists() and old.exists():
+            old.rename(target)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         if not target.exists():
             return 0
         files = [p for p in target.rglob("*.parquet") if p.is_file()]
         if len(files) <= 1:
             return len(files)
         df = self.spark.read.parquet(str(target))
-        tmp = target.with_name(target.name + "._compact_tmp")
-        old = target.with_name(target.name + "._compact_old")
-        shutil.rmtree(tmp, ignore_errors=True)
         df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
         target.rename(old)
         tmp.rename(target)
@@ -143,16 +159,33 @@ class ParquetTableIO:
         return sorted(set(out))
 
     # ---- lineage log ---------------------------------------------------
+    _last_seal_seq = 0  # process-wide floor so same-µs appends still increase
+
+    def _next_seal_seq(self) -> int:
+        """Monotonic sequence for lineage appends: wall-clock µs, bumped
+        past any value already in the log (so restarts on a clock that
+        went backwards, or multiple appends in one µs, stay ordered)."""
+        import time
+
+        now = int(time.time() * 1_000_000)
+        seq = max(now, ParquetTableIO._last_seal_seq + 1)
+        ParquetTableIO._last_seal_seq = seq
+        return seq
+
     def append_lineage(self, rows: list[dict]) -> None:
         if not rows:
             return
         import pandas as pd
 
+        seq = self._next_seal_seq()
         # pandas -> Arrow conversion path: a plain-list createDataFrame
         # takes the Python-RDD route and spins up a worker per core
         # (~5s per append measured); Arrow keeps this a sub-second write
         pdf = pd.DataFrame(
-            {f.name: [r.get(f.name) for r in rows] for f in LINEAGE_SCHEMA.fields}
+            {
+                f.name: [r.get(f.name, seq if f.name == "seal_seq" else None) for r in rows]
+                for f in LINEAGE_SCHEMA.fields
+            }
         )
         df = self.spark.createDataFrame(pdf, LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path("lineage"))
@@ -160,14 +193,23 @@ class ParquetTableIO:
     def read_lineage(self) -> DataFrame:
         if not self.exists("lineage"):
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.parquet(self.path("lineage"))
+        lin = self.spark.read.parquet(self.path("lineage"))
+        if "seal_seq" not in lin.columns:  # pre-seal_seq logs
+            lin = lin.withColumn("seal_seq", F.lit(None).cast("long"))
+        return lin
 
     def sealed_units(self) -> DataFrame:
-        """Latest-wins view: (tier, source, window_start) currently sealed."""
+        """Latest-wins view: (tier, source, window_start) currently sealed.
+
+        Ordered by the monotonic seal_seq (append time), never by run_id —
+        run ids are random uuid text, so max_by over them is not temporal
+        and an unseal->reseal history would resolve arbitrarily.  Rows
+        from pre-seal_seq logs sort before any stamped row.
+        """
         lin = self.read_lineage()
         return (
             lin.groupBy("tier", "source", "window_start")
-            .agg(F.max_by("sealed", "run_id").alias("sealed"))
+            .agg(F.max_by("sealed", F.coalesce("seal_seq", F.lit(-1))).alias("sealed"))
             .where(F.col("sealed"))
             .drop("sealed")
         )

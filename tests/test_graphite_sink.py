@@ -52,6 +52,17 @@ def test_graphite_line_golden_format(spark, tier_df):
     assert len(got) == 1 + 1 + 2 + 4
 
 
+def test_graphite_no_mapped_columns_yields_empty_frame(spark, tier_df):
+    """A tier frame with none of the mapped value columns must format to
+    an EMPTY lines frame, not raise from exploding a null literal."""
+    from logtrics_spark.sinks.graphite import to_graphite_lines
+
+    bare = tier_df.select("source", "metric", "kind", "window_start")
+    got = to_graphite_lines(bare, "1m")
+    assert got.columns == ["line"]
+    assert got.count() == 0
+
+
 def test_graphite_counter_falls_back_to_window_delta(spark, tier_df):
     from logtrics_spark.sinks.graphite import to_graphite_lines
 

@@ -218,3 +218,63 @@ def test_compact_tier_single_file_same_data(spark, tok, tmp_path):
     assert before.sort_values(key).reset_index(drop=True).equals(
         after.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_compact_partition_heals_crashed_swap(spark, tok, tmp_path):
+    """A crash inside the (non-atomic) directory swap leaves the target
+    missing and data in ._compact_old — the next call must restore it."""
+    import shutil
+    from pathlib import Path
+
+    job = RollupJob(spark, str(tmp_path / "store"), step_seconds=STEP)
+    job.ingest_raw(tok)
+    job.run(run_id="r")
+    day = job.io.list_partitions("tiers/tier=1m", "day")[0]
+    before = job.read_tier("1m").toPandas()
+    target = Path(job.io.path("tiers/tier=1m")) / f"day={day}"
+    # simulate the crash window: target renamed away, tmp left behind
+    old = target.with_name(target.name + "._compact_old")
+    tmp = target.with_name(target.name + "._compact_tmp")
+    target.rename(old)
+    tmp.mkdir()
+    (tmp / "garbage.parquet").write_bytes(b"not parquet")
+    assert not target.exists()
+    job.io.compact_partition("tiers/tier=1m", day=day)
+    assert target.exists() and not old.exists() and not tmp.exists()
+    after = job.read_tier("1m").toPandas()
+    key = ["source", "metric", "kind", "window_start"]
+    assert before.sort_values(key).reset_index(drop=True).equals(
+        after.sort_values(key).reset_index(drop=True)
+    )
+    shutil.rmtree(str(tmp_path / "store"), ignore_errors=True)
+
+
+def test_sealed_units_latest_wins_on_seal_seq(spark, tmp_path):
+    """seal -> unseal -> seal across three appends (three 'runs' with
+    shuffled random run_ids): the view must reflect append ORDER, which
+    run_id text ordering would scramble."""
+    import datetime as dt
+
+    from logtrics_spark.storage.tableio import ParquetTableIO
+
+    io = ParquetTableIO(spark, str(tmp_path / "lineage_store"))
+    ws = dt.datetime(2024, 1, 1)
+    base = {
+        "tier": "1m",
+        "source": "web",
+        "window_start": ws,
+        "input_partitions": ["raw/source=web"],
+        "row_count": 1,
+        "point_count": 1,
+        "chunk_file": None,
+    }
+    # run_ids chosen so lexical max order (zzz) disagrees with append order
+    io.append_lineage([{**base, "sealed": True, "run_id": "zzz"}])
+    io.append_lineage([{**base, "sealed": False, "run_id": "mmm"}])
+    assert io.sealed_units().count() == 0  # unseal wins over lexically-max zzz
+    io.append_lineage([{**base, "sealed": True, "run_id": "aaa"}])
+    sealed = io.sealed_units().collect()
+    assert len(sealed) == 1 and sealed[0]["source"] == "web"
+    # seal_seq strictly increases across appends
+    seqs = [r["seal_seq"] for r in io.read_lineage().orderBy("seal_seq").collect()]
+    assert seqs == sorted(seqs) and len(set(seqs)) == 3

@@ -95,6 +95,24 @@ def test_minhash_band_join_carries_no_signatures(spark, raw):
     assert all("sig" not in ln for ln in join_lines), join_lines
 
 
+def test_pack_sequences_windows_by_composite_key(spark, raw):
+    """The packing prefix-sum must partition its Window by (source, day),
+    never bare source — a hot source as the only key funnels ~40% of the
+    corpus through ONE sort task at scale."""
+    from pyspark.sql import functions as F
+
+    from logtrics_spark.operators.extract import with_ts
+    from logtrics_spark.operators.tokens import pack_sequences
+
+    tok = with_ts(raw, step_seconds=60).withColumn(
+        "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    )
+    plan = _plan(pack_sequences(tok, budget=2048, by=["source", "day"]))
+    spec_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert spec_lines, plan
+    assert all("day" in ln for ln in spec_lines), spec_lines
+
+
 def test_verification_jaccard_is_codegen(spark, raw):
     """ngram_jaccard_pairs: no interpreted array HOFs (ArrayIntersect /
     ArrayUnion / aggregate lambdas) in the counting plan."""

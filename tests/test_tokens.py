@@ -124,6 +124,33 @@ def test_pack_sequences_budget_and_coverage(spark, tok):
     assert a.equals(b)
 
 
+def test_pack_sequences_composite_key(spark, tok):
+    """Packing within (source, day) — the scale-safe grouping — keeps
+    the same invariants (full coverage, bounded bins, determinism) while
+    splitting each source across many independent sort groups."""
+    from logtrics_spark.operators.tokens import pack_sequences
+
+    tok2 = tok.withColumn("day", (F.substring("doc_id", 4, 12).cast("long") % 3))
+    packed = pack_sequences(tok2, budget=4096, by=["source", "day"]).toPandas()
+    src = tok2.select("source", "day", "n_tok").toPandas()
+    assert packed["n_docs"].sum() == len(src)
+    assert packed["total_tok"].sum() == src["n_tok"].sum()
+    max_doc = src["n_tok"].max()
+    assert (packed["total_tok"] <= 4096 + max_doc).all()
+    # every (source, day) group packs independently
+    got_groups = set(map(tuple, packed[["source", "day"]].drop_duplicates().values))
+    want_groups = set(map(tuple, src[["source", "day"]].drop_duplicates().values))
+    assert got_groups == want_groups
+    # deterministic across partition layouts
+    packed2 = pack_sequences(
+        tok2.repartition(9), budget=4096, by=["source", "day"]
+    ).toPandas()
+    key = ["source", "day", "bin_id"]
+    a = packed.sort_values(key).reset_index(drop=True)
+    b = packed2.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_repetition_stats_signal(spark):
     from logtrics_spark.operators.tokens import repetition_stats
 

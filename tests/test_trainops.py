@@ -74,12 +74,39 @@ def test_simhash_near_dupes(spark, docs):
         .withColumn("text", F.concat(F.col("text"), F.lit(" x")))
     )
     both = docs.unionByName(near)
-    pairs = simhash_dupes(both).where("hamming <= 6").toPandas()
+    # radius-7 recall needs 8-bit bands — explicit opt-in (default is 16)
+    pairs = simhash_dupes(both, band_bits=8).where("hamming <= 6").toPandas()
     planted = pairs[(pairs.id_b - pairs.id_a) == 300000]
     assert len(planted) == 3
-    # identical docs -> hamming 0
+    # identical docs -> hamming 0 (found at the 16-bit default too)
     same = simhash_dupes(docs.unionByName(docs.limit(2).withColumn("doc_id", F.col("doc_id") + 400000)))
     assert same.where("hamming = 0").count() >= 2
+
+
+def test_simhash_default_is_manku_operating_point(spark):
+    """The DEFAULT banding must be scale-safe: >= 2^16 bucket values per
+    band (band_bits >= 16) so a clustered corpus can't pair up
+    quadratically inside a band, and guaranteed recall at hamming <= 3
+    on the adversarial one-flip-per-16-bit-band layout."""
+    import inspect
+
+    from logtrics_spark.operators.dedup import simhash_band_pairs, simhash_dupes
+
+    for fn in (simhash_dupes, simhash_band_pairs):
+        default = inspect.signature(fn).parameters["band_bits"].default
+        assert default >= 16, f"{fn.__name__} default band space < 2^16"
+    base = 0x0123_4567_89AB_CDEF
+    rows = [(0, base)]
+    for i in range(1, 5):
+        v = base
+        for j in range(i):
+            v ^= 1 << (j * 16)  # one flip per 16-bit band
+        rows.append((i, v))
+    sims = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "simhash"]))
+    got = simhash_band_pairs(sims).where("id_a = 0").toPandas()
+    found = set(got["id_b"])
+    assert {1, 2, 3} <= found  # pigeonhole radius B-1 = 3
+    assert 4 not in found  # one flip in every band -> no shared band
 
 
 def test_simhash_band_guarantee(spark):

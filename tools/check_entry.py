@@ -33,6 +33,19 @@ def frame_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
 
+def dtype_kind_mismatches(got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+    """Columns where one side is integer-kind and the other float-kind."""
+    out = []
+    for c in sorted(got.columns):
+        a = "f" if pd.api.types.is_float_dtype(got[c]) else (
+            "i" if pd.api.types.is_integer_dtype(got[c]) else "o")
+        b = "f" if pd.api.types.is_float_dtype(exp[c]) else (
+            "i" if pd.api.types.is_integer_dtype(exp[c]) else "o")
+        if {a, b} == {"i", "f"}:
+            out.append(f"{c}:{a}!={b}")
+    return out
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
     import __spark_entry__ as entrymod
     from logtrics_spark.session import get_spark
@@ -68,6 +81,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
             problems.append(f"rows {len(got)} != {len(exp)}")
         if sorted(got.columns) != sorted(exp.columns):
             problems.append(f"cols {sorted(got.columns)} != {sorted(exp.columns)}")
+        elif kinds := dtype_kind_mismatches(got, exp):
+            # The driver hashes str(value): int64 1731 vs float64 1731.0
+            # diverge even when %.9g masks it here.  DuckDB promotes
+            # integer SUM to HUGEINT -> float64, so oracles must CAST
+            # integer aggregates back to BIGINT.  Fail loudly on any
+            # int-vs-float column so that class reproduces locally.
+            problems.append(f"dtype kind mismatch (spark vs duckdb): {kinds}")
         elif frame_hash(got) != frame_hash(exp):
             problems.append("value hash mismatch")
             merged = got[sorted(got.columns)].merge(
