@@ -188,6 +188,8 @@ def q_timer_pcts_1d(spark, sf_dir):
         _q("p50", 4).alias("p50"),
         _q("p95", 4).alias("p95"),
         _q("p999", 4).alias("p999"),
+        # reference timer parity: sample stddev (oracle: stddev_samp)
+        _q("stddev", 4).alias("stddev"),
     )
 
 
@@ -382,15 +384,19 @@ def q_embedding_norms(spark, sf_dir):
 
 def q_graphite_lines(spark, sf_dir):
     """K2 parity: hourly tier rows formatted as Graphite plaintext
-    (`path value epoch`, epoch = window end), gauge + meter views —
-    oracled by DuckDB printf over the same rollup."""
+    (`path value epoch`, epoch = window end), gauge + meter + timer
+    views — oracled by DuckDB printf over the same rollup.  The timer
+    view exercises the full reporter field set incl. std-dev
+    (graphite/graphite.go:128-138), whose oracle reproduces the same
+    composable moment formula (sample variance from cnt/sum/sum_sq)."""
     from logtrics_spark.operators.rollup import rollup
     from logtrics_spark.sinks.graphite import to_graphite_lines
 
     r = rollup(_events_points(spark, sf_dir), "1h")
     gauge_lines = to_graphite_lines(r, "1h", gauge_float=True)
     meter_lines = to_graphite_lines(r.withColumn("kind", F.lit("meter")), "1h")
-    return gauge_lines.unionByName(meter_lines)
+    timer_lines = to_graphite_lines(r.withColumn("kind", F.lit("timer")), "1h")
+    return gauge_lines.unionByName(meter_lines).unionByName(timer_lines)
 
 
 def q_salted_agg_1h(spark, sf_dir):
@@ -736,7 +742,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p50,
                    floor((quantile_cont(value, 0.95)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p95,
-                   floor((quantile_cont(value, 0.999)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p999
+                   floor((quantile_cont(value, 0.999)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p999,
+                   floor((CASE WHEN count(*) > 1 THEN stddev_samp(value) ELSE 0 END)
+                         * 10000.0 + 0.5 + 1e-6) / 10000.0 AS stddev
             FROM events GROUP BY 1, 2
         """,
         "gapfill_locf_1h": """
@@ -1008,13 +1016,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type AS source,
                      CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) + 3600 AS epoch,
                      count(*) AS cnt,
-                     arg_max(value, ts) AS last
+                     arg_max(value, ts) AS last,
+                     min(value) AS vmin, max(value) AS vmax, avg(value) AS vavg,
+                     -- same composable moment formula as rollup.stddev_from_moments
+                     CASE WHEN count(*) > 1 THEN
+                       sqrt(greatest((sum(value*value) - sum(value)*sum(value)/count(*))
+                                     / (count(*) - 1), 0.0))
+                     ELSE 0.0 END AS vstd
               FROM events GROUP BY 1, 2)
             SELECT printf('logtrics.%s.ev.value.value %.6f %d', source,
                           floor(last * 1000000.0 + 0.5 + 1e-6) / 1000000.0, epoch) AS line
             FROM t
             UNION ALL
             SELECT printf('logtrics.%s.ev.value.count %d %d', source, cnt, epoch)
+            FROM t
+            UNION ALL
+            SELECT printf('logtrics.%s.ev.value.mean-rate %.6f %d', source,
+                          floor((cnt / 3600.0) * 1000000.0 + 0.5 + 1e-6) / 1000000.0, epoch)
+            FROM t
+            UNION ALL  -- timer view: count/min/max/mean/std-dev/mean-rate
+            SELECT printf('logtrics.%s.ev.value.count %d %d', source, cnt, epoch)
+            FROM t
+            UNION ALL
+            SELECT printf('logtrics.%s.ev.value.min %.6f %d', source,
+                          floor(vmin * 1000000.0 + 0.5 + 1e-6) / 1000000.0, epoch)
+            FROM t
+            UNION ALL
+            SELECT printf('logtrics.%s.ev.value.max %.6f %d', source,
+                          floor(vmax * 1000000.0 + 0.5 + 1e-6) / 1000000.0, epoch)
+            FROM t
+            UNION ALL
+            SELECT printf('logtrics.%s.ev.value.mean %.6f %d', source,
+                          floor(vavg * 1000000.0 + 0.5 + 1e-6) / 1000000.0, epoch)
+            FROM t
+            UNION ALL
+            SELECT printf('logtrics.%s.ev.value.std-dev %.6f %d', source,
+                          floor(vstd * 1000000.0 + 0.5 + 1e-6) / 1000000.0, epoch)
             FROM t
             UNION ALL
             SELECT printf('logtrics.%s.ev.value.mean-rate %.6f %d', source,

@@ -59,12 +59,31 @@ def window_start(ts_col, tier: str):
     )
 
 
+def stddev_from_moments(cnt, total, sum_sq):
+    """Sample stddev from composable moments (cnt, sum, sum(value^2)).
+
+    sqrt(max(0, (sum_sq - sum^2/n) / (n-1))), 0.0 for n <= 1 — SAMPLE
+    variance (n-1 divisor), the go-metrics histogram convention the
+    reference's timer reports (graphite/graphite.go:128-138); oracles
+    must use stddev_samp.  Moment form (not Welford) so the cascade can
+    reaggregate it exactly: sums and sums-of-squares compose, running
+    central moments don't.
+    """
+    c = F.col(cnt) if isinstance(cnt, str) else cnt
+    s = F.col(total) if isinstance(total, str) else total
+    ss = F.col(sum_sq) if isinstance(sum_sq, str) else sum_sq
+    c = c.cast("double")
+    var = (ss.cast("double") - s.cast("double") * s.cast("double") / c) / (c - 1)
+    return F.when(c > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(0.0))
+
+
 def rollup(points: DataFrame, tier: str) -> DataFrame:
     """points(source,metric,kind,ts,value) -> one row per series-window.
 
     Output: source, metric, kind, window_start, cnt, sum, min, max, avg,
-            last, last_ts.  ``last`` is the gauge view (max_by on ts);
-    harmless-but-defined for other kinds.
+            last, last_ts, sum_sq, stddev, rate.  ``last`` is the gauge
+    view (max_by on ts); ``sum_sq`` is carried so stddev survives the
+    cascade; harmless-but-defined for other kinds.
     """
     secs = tier_seconds(tier)
     return (
@@ -78,34 +97,44 @@ def rollup(points: DataFrame, tier: str) -> DataFrame:
             F.avg("value").alias("avg"),
             F.max_by("value", "ts").alias("last"),
             F.max("ts").alias("last_ts"),
+            F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
         )
         .withColumn("rate", F.col("cnt").cast("double") / F.lit(float(secs)))
+        .withColumn("stddev", stddev_from_moments("cnt", "sum", "sum_sq"))
     )
 
 
 def cascade(fine: DataFrame, fine_tier: str, coarse_tier: str) -> DataFrame:
     """Reaggregate a finer tier table into a coarser tier (N3).
 
-    count/sum/min/max compose; avg = sum/cnt recomputed; last carries by
-    max_by on the fine window's last_ts.
+    count/sum/min/max/sum_sq compose; avg = sum/cnt and stddev = moment
+    formula recomputed; last carries by max_by on the fine window's
+    last_ts.
     """
     if tier_seconds(coarse_tier) % tier_seconds(fine_tier) != 0:
         raise ValueError(f"{coarse_tier} is not a multiple of {fine_tier}")
     secs = tier_seconds(coarse_tier)
-    return (
+    has_sq = "sum_sq" in fine.columns
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        (F.sum("sum") / F.sum("cnt")).alias("avg"),
+        F.max_by("last", "last_ts").alias("last"),
+        F.max("last_ts").alias("last_ts"),
+    ]
+    if has_sq:
+        aggs.append(F.sum("sum_sq").alias("sum_sq"))
+    out = (
         fine.withColumn("cws", window_start(F.col("window_start"), coarse_tier))
         .groupBy(*KEY, F.col("cws").alias("window_start"))
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("sum").alias("sum"),
-            F.min("min").alias("min"),
-            F.max("max").alias("max"),
-            (F.sum("sum") / F.sum("cnt")).alias("avg"),
-            F.max_by("last", "last_ts").alias("last"),
-            F.max("last_ts").alias("last_ts"),
-        )
+        .agg(*aggs)
         .withColumn("rate", F.col("cnt").cast("double") / F.lit(float(secs)))
     )
+    if has_sq:
+        out = out.withColumn("stddev", stddev_from_moments("cnt", "sum", "sum_sq"))
+    return out
 
 
 def rollup_all_tiers(points: DataFrame, tiers: list[str] | None = None) -> dict[str, DataFrame]:
@@ -141,12 +170,22 @@ def timer_percentiles(points: DataFrame, tier: str, exact: bool = True) -> DataF
         points.where(F.col("kind") == "timer")
         .withColumn("window_start", window_start(F.col("ts"), tier))
         .groupBy(*KEY, "window_start")
-        .agg(agg.alias("pcts"), F.count("value").alias("cnt"))
+        .agg(
+            agg.alias("pcts"),
+            F.count("value").alias("cnt"),
+            # reference timers report std-dev (graphite/graphite.go:133);
+            # SAMPLE stddev (go-metrics histogram), 0.0 for n<=1 — match
+            # DuckDB oracles with stddev_samp + the same n<=1 guard
+            F.when(F.count("value") > 1, F.stddev(F.col("value").cast("double")))
+            .otherwise(F.lit(0.0))
+            .alias("stddev"),
+        )
         .select(
             *KEY,
             "window_start",
             "cnt",
             *[F.col("pcts")[i].cast("double").alias(n) for i, n in enumerate(names)],
+            "stddev",
         )
     )
 

@@ -79,11 +79,16 @@ _KIND_FIELDS: dict[str, list[tuple[str, str, object]]] = {
         ("min", "min", _f),
         ("max", "max", _f),
         ("mean", "avg", _f),
+        ("std-dev", "stddev", _f),
         ("50-percentile", "p50", _f),
         ("75-percentile", "p75", _f),
         ("95-percentile", "p95", _f),
         ("99-percentile", "p99", _f),
         ("999-percentile", "p999", _f),
+        ("mean-rate", "rate", _f),
+        ("one-minute", "rate_m1", _f),
+        ("five-minute", "rate_m5", _f),
+        ("fifteen-minute", "rate_m15", _f),
     ],
 }
 

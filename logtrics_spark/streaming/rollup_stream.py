@@ -54,8 +54,13 @@ def rollup_stream(
             # rollup so the tier tables are genuinely interchangeable
             F.max_by("value", ts_col).alias("last"),
             F.max(ts_col).alias("last_ts"),
+            # sum of squares composes in streaming state like any sum —
+            # stddev derives at emit, keeping batch/stream schema parity
+            F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
         )
     )
+    from logtrics_spark.operators.rollup import stddev_from_moments
+
     return agg.select(
         *KEY,
         F.col("w.start").alias("window_start"),
@@ -66,7 +71,9 @@ def rollup_stream(
         (F.col("sum") / F.col("cnt")).alias("avg"),
         "last",
         "last_ts",
+        "sum_sq",
         (F.col("cnt").cast("double") / F.lit(float(secs))).alias("rate"),
+        stddev_from_moments("cnt", "sum", "sum_sq").alias("stddev"),
     )
 
 

@@ -56,7 +56,11 @@ def rollup_oracle(points: pd.DataFrame, tier_secs: int) -> pd.DataFrame:
     out = g["value"].agg(cnt="count", sum="sum", min="min", max="max", avg="mean")
     out["last"] = g["value"].last()
     out["last_ts"] = g["ts"].max()
+    out["sum_sq"] = g["value"].apply(lambda v: float((v.astype("float64") ** 2).sum()))
     out["rate"] = out["cnt"] / float(tier_secs)
+    # sample stddev from moments (rollup.stddev_from_moments semantics)
+    var = (out["sum_sq"] - out["sum"] ** 2 / out["cnt"]) / (out["cnt"] - 1)
+    out["stddev"] = np.where(out["cnt"] > 1, np.sqrt(var.clip(lower=0.0)), 0.0)
     return out.reset_index()
 
 
@@ -69,10 +73,11 @@ def percentiles_oracle(points: pd.DataFrame, tier_secs: int) -> pd.DataFrame:
     for key, grp in df.groupby(["source", "metric", "kind", "window_start"]):
         v = grp["value"].to_numpy(dtype="float64")
         qs = np.quantile(v, [0.5, 0.75, 0.95, 0.99, 0.999], method="linear")
-        rows.append((*key, len(v), *qs))
+        std = float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
+        rows.append((*key, len(v), *qs, std))
     return pd.DataFrame(
         rows,
-        columns=["source", "metric", "kind", "window_start", "cnt", "p50", "p75", "p95", "p99", "p999"],
+        columns=["source", "metric", "kind", "window_start", "cnt", "p50", "p75", "p95", "p99", "p999", "stddev"],
     )
 
 

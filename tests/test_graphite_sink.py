@@ -30,6 +30,7 @@ def tier_df(spark):
             "last": [20, 15, 1, 20],
             "rate": [10 / 60.0, 3 / 60.0, 1.0, 4 / 60.0],
             "cum_sum": [250, 30, 60, 44],
+            "stddev": [0.0, 0.0, 0.0, 7.5],
         }
     )
     return spark.createDataFrame(rows)
@@ -48,8 +49,12 @@ def test_graphite_line_golden_format(spark, tier_df):
     assert f"logtrics.api.req.rate.mean-rate 1.000000 {epoch}" in got
     assert f"logtrics.api.lat.ms.count 4 {epoch}" in got
     assert f"logtrics.api.lat.ms.mean 11.000000 {epoch}" in got
-    # one line per (kind-appropriate field x row), nothing else
-    assert len(got) == 1 + 1 + 2 + 4
+    assert f"logtrics.api.lat.ms.std-dev 7.500000 {epoch}" in got
+    assert f"logtrics.api.lat.ms.mean-rate 0.066667 {epoch}" in got
+    # one line per (kind-appropriate field x row), nothing else:
+    # counter 1, gauge 1, meter count+mean-rate, timer
+    # count/min/max/mean/std-dev/mean-rate
+    assert len(got) == 1 + 1 + 2 + 6
 
 
 def test_graphite_no_mapped_columns_yields_empty_frame(spark, tier_df):
@@ -112,4 +117,4 @@ def test_graphite_debug_sink_logs_registry(spark, tier_df, caplog):
         sink(tier_df, batch_id=7)
     msgs = [r.getMessage() for r in caplog.records]
     assert any("batch=7" in m and "logtrics.web.req.total.count 250" in m for m in msgs)
-    assert len(msgs) == 8
+    assert len(msgs) == 10
