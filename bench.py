@@ -50,23 +50,30 @@ def main() -> None:
     from logtrics_spark.datagen import gen_tokseq
     from logtrics_spark.plans.pipeline import RollupJob
 
-    store = tempfile.mkdtemp(prefix="bench_store_")
-    try:
-        tok = gen_tokseq(spark, tok_rows, partitions=max(cpus, 8))
-        job = RollupJob(spark, store, step_seconds=1)
-        t0 = time.perf_counter()
-        job.ingest_raw(tok)
-        t_ingest = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        job.run(run_id="bench")
-        t_run = time.perf_counter() - t0
-        timings["tok_ingest"] = round(t_ingest, 3)
-        timings["tok_pipeline"] = round(t_run, 3)
-        n_points = 4 * tok_rows  # extract emits 4 metric points per row
-        extras["points_per_sec"] = round(n_points / t_run, 1)
-        extras["tok_rows"] = tok_rows
-    finally:
-        shutil.rmtree(store, ignore_errors=True)
+    # best-of-2 like the queries (r2 showed the two single-shot pipeline
+    # timings were exactly where the host's CPU-steal noise landed); each
+    # attempt gets a FRESH store so both runs do identical work
+    tok = gen_tokseq(spark, tok_rows, partitions=max(cpus, 8))
+    best_ingest = best_run = None
+    for _ in range(2):
+        store = tempfile.mkdtemp(prefix="bench_store_")
+        try:
+            job = RollupJob(spark, store, step_seconds=1)
+            t0 = time.perf_counter()
+            job.ingest_raw(tok)
+            t_ingest = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            job.run(run_id="bench")
+            t_run = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+        best_ingest = t_ingest if best_ingest is None else min(best_ingest, t_ingest)
+        best_run = t_run if best_run is None else min(best_run, t_run)
+    timings["tok_ingest"] = round(best_ingest, 3)
+    timings["tok_pipeline"] = round(best_run, 3)
+    n_points = 4 * tok_rows  # extract emits 4 metric points per row
+    extras["points_per_sec"] = round(n_points / best_run, 1)
+    extras["tok_rows"] = tok_rows
 
     # ---- driver queries at sf_dir ---------------------------------------
     qs = entrymod.queries()
@@ -147,7 +154,7 @@ def main() -> None:
                 "tok_rows": extras["tok_rows"],
                 "vs_prev": vs_prev,
                 "prev_bench": prev_name,
-                "timing": "queries best-of-2; tok pipeline single-shot",
+                "timing": "queries AND tok pipeline best-of-2 (fresh store per attempt)",
             }
         )
     )

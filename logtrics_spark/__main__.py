@@ -1,16 +1,20 @@
 """CLI — the daemon-flavored face of the engine (reference:
 cmd/logtrics/main.go's cobra CLI with config + mode flags).
 
+    python -m logtrics_spark run      --config config.toml \\
+                                      --rules rules.py:engine --store ./store
     python -m logtrics_spark rollup   --input raw.parquet --store ./store
     python -m logtrics_spark graphite --store ./store --tier 1h \\
                                       --host 127.0.0.1 --port 2024
     python -m logtrics_spark config-check ./config.toml
 
-``rollup`` runs the resumable batch job (ingest -> tiers -> Gorilla ->
-lineage [-> retention]); ``graphite`` formats a stored tier as
-plaintext lines and ships them over TCP (K2); ``config-check``
-validates a reference-shaped TOML.  Spark session settings come from
-logtrics_spark.session (SPARK_GRAFT_CPUS etc.).
+``run`` is the daemon (the reference's primary entry point,
+main.go:97-121): TOML modes -> sources -> rules -> streaming rollup ->
+tier store + Graphite flusher; ``rollup`` runs the resumable batch job
+(ingest -> tiers -> Gorilla -> lineage [-> retention]); ``graphite``
+formats a stored tier as plaintext lines and ships them over TCP (K2);
+``config-check`` validates a reference-shaped TOML.  Spark session
+settings come from logtrics_spark.session (SPARK_GRAFT_CPUS etc.).
 """
 
 from __future__ import annotations
@@ -68,6 +72,17 @@ def _cmd_graphite(args) -> int:
     return 0
 
 
+def _cmd_run(args) -> int:
+    from logtrics_spark.plans.daemon import main_run
+
+    spark, own = _get_session("logtrics-run")
+    try:
+        return main_run(args, spark)
+    finally:
+        if own:
+            spark.stop()
+
+
 def _cmd_config_check(args) -> int:
     from logtrics_spark.config import ConfigError, load_toml
 
@@ -83,6 +98,17 @@ def _cmd_config_check(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="logtrics_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("run", help="daemon: modes -> rules -> tiers -> graphite")
+    d.add_argument("--config", required=True, help="reference-shaped config.toml")
+    d.add_argument("--rules", required=True,
+                   help="'<module|file.py>:<attr>' resolving to an Engine")
+    d.add_argument("--store", required=True, help="live tier store root")
+    d.add_argument("--file-dir", help="directory for mode 'file' (filetail)")
+    d.add_argument("--checkpoint", help="checkpoint root (default <store>/_checkpoints)")
+    d.add_argument("--once", action="store_true",
+                   help="availableNow: drain sources once and exit")
+    d.set_defaults(fn=_cmd_run)
 
     r = sub.add_parser("rollup", help="run the resumable batch rollup job")
     r.add_argument("--input", help="token-table parquet to ingest (optional)")

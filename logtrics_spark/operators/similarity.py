@@ -194,6 +194,29 @@ def query_ivf_index(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def assign_corpus(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, v, cid, nv): the IVF assignment, reusable.
+
+    Callers serving MULTIPLE query batches in one session should compute
+    this once and ``.persist()`` (or localCheckpoint) it, then pass it to
+    ``ivf_topk(assigned=...)`` — otherwise every query batch re-runs the
+    full corpus assignment scan.  For anything long-lived or at scale,
+    materialize instead: ``build_ivf_index`` writes this exact frame
+    under ``cid=`` partitions so probes become partition pruning.
+    """
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    return (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("cid", assign1(F.col("v"))[0])
+        .withColumn("nv", _norm(F.col("v")))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -204,21 +227,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: assign corpus to nearest centroid, probe nprobe lists.
+    """IVF ANN over an IN-FLIGHT assignment (one-shot / test shape).
 
     Join key is the centroid id — the corpus side is partitioned by it,
-    so each query only scans ~nprobe/n_centroids of the data.
+    so each query only scans ~nprobe/n_centroids of the data AFTER the
+    assignment; the assignment itself still scans the corpus.  Reuse
+    across query batches via ``assigned=assign_corpus(...).persist()``;
+    the at-scale path is the persistent store (``build_ivf_index`` +
+    ``query_ivf_index``), where probes prune partitions at the SCAN.
     """
     query_id_col = query_id_col or id_col
-    if centroids is None:
-        centroids = train_centroids(corpus, n_centroids, vec_col=vec_col)
+    if assigned is None:
+        if centroids is None:
+            centroids = train_centroids(corpus, n_centroids, vec_col=vec_col)
+        assigned = assign_corpus(corpus, centroids, id_col, vec_col)
+    elif centroids is None:
+        raise ValueError("assigned requires the centroids it was built with")
 
-    assign1 = _nearest_centroids_udf(centroids, 1)
     assign_probe = _nearest_centroids_udf(centroids, nprobe)
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "cid", assign1(F.col("v"))[0]
-    ).withColumn("nv", _norm(F.col("v")))
+    c = assigned
     q = (
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn("cid", F.explode(assign_probe(F.col("qv"))))

@@ -1,0 +1,289 @@
+"""Daemon run mode — the reference's primary entry point, composed.
+
+The reference process (cmd/logtrics/main.go:97-121, app.go:74-94) wires
+config -> readers (console/udp/tcp per ``modes``) -> rules -> the
+go-metrics registry -> the Graphite flusher ticking every
+``graphite.interval`` seconds.  The Spark-first composition of the same
+deployment:
+
+    modes -> line sources        sources/readers.py
+          -> Engine.run          api.py   (one Arrow pass, all rules)
+          -> rollup_stream       streaming/rollup_stream.py (finest tier)
+          -> foreachBatch sink   tier store append + Graphite lines
+
+Streaming modes (``file``/``tcp``) become Structured Streaming queries
+triggered at the flush interval; driver-side modes (``console`` lines,
+the ``udp`` datagram harness) drain through the SAME batch path
+(`Daemon.process_lines`), so every mode lands in one store layout and
+one Graphite format.  ``graphite.debug`` (K3) and ``graphite.interval``
+from the TOML are honored per batch.
+
+Flush semantics = the reference's, not the batch pipeline's: the
+reference pushes the CURRENT registry snapshot every tick — open
+windows re-emit with running values (graphite/graphite.go:84-98).  The
+Spark analog is ``update`` output mode: every trigger emits each
+changed window's aggregate-so-far (streaming state holds the complete
+aggregate, so the LAST emission per window is the closed value).  The
+store therefore appends snapshot versions stamped with a monotonic
+``flush_seq``; ``read_tier_latest`` resolves latest-wins per
+series+window.  (The batch pipeline's sealed, write-once tier tables
+remain the archival path; a daemon store is the live head.)
+
+Production posture at scale is unchanged: file/tcp streams are the real
+sources; console/udp are the dev harness the reference also treats as
+such (reader/readers.go:73-147).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logtrics_spark.api import Engine
+from logtrics_spark.operators.rollup import rollup
+from logtrics_spark.sinks.graphite import send_graphite_tcp, to_graphite_lines
+from logtrics_spark.sources.readers import (
+    UDPLineCollector,
+    lines_df,
+    stream_lines,
+    stream_socket,
+)
+from logtrics_spark.storage.tableio import ParquetTableIO
+from logtrics_spark.streaming.rollup_stream import rollup_stream
+
+logger = logging.getLogger("logtrics_spark.daemon")
+
+
+def load_rules(spec: str) -> Engine:
+    """Resolve ``<module-or-file.py>:<attr>`` to an Engine.
+
+    The attr may be an Engine instance or a zero-arg callable returning
+    one — the Python analog of the reference's scriptfile Lua loading
+    (app.go:96-111), with eager validation instead of runtime surprise.
+    """
+    import importlib
+    import importlib.util
+
+    path, sep, attr = spec.rpartition(":")
+    if not sep or not path:
+        raise ValueError(f"rules spec {spec!r} must be '<module|file.py>:<attr>'")
+    if path.endswith(".py"):
+        mod_spec = importlib.util.spec_from_file_location("logtrics_rules", path)
+        if mod_spec is None or mod_spec.loader is None:
+            raise ValueError(f"cannot load rules file {path!r}")
+        module = importlib.util.module_from_spec(mod_spec)
+        mod_spec.loader.exec_module(module)
+    else:
+        module = importlib.import_module(path)
+    obj = getattr(module, attr)
+    engine = obj() if callable(obj) and not isinstance(obj, Engine) else obj
+    if not isinstance(engine, Engine):
+        raise ValueError(f"{spec!r} resolved to {type(obj).__name__}, not an Engine")
+    if not engine.rules:
+        raise ValueError(f"{spec!r} has no rules registered")
+    return engine
+
+
+@dataclass
+class Daemon:
+    """One configured deployment: sources -> rules -> tiers -> graphite."""
+
+    spark: SparkSession
+    conf: dict[str, Any]
+    engine: Engine
+    store_root: str
+    file_dir: str | None = None
+    checkpoint_root: str | None = None
+    queries: list = field(default_factory=list, init=False)
+    udp: UDPLineCollector | None = field(default=None, init=False)
+
+    def __post_init__(self) -> None:
+        g = self.conf.get("graphite", {})
+        tiers = g.get("tiers") or ["1m"]
+        self.tier = tiers[0]  # finest tier; coarser tiers cascade offline
+        self.interval = int(g.get("interval", 30))
+        self.io = ParquetTableIO(self.spark, self.store_root)
+        self._flush_seq = 0
+        import threading
+
+        self._seq_lock = threading.Lock()
+
+    def _next_flush_seq(self) -> int:
+        """Monotonic snapshot stamp across all queries + driver drains."""
+        import time
+
+        with self._seq_lock:
+            self._flush_seq = max(self._flush_seq + 1, int(time.time() * 1_000_000))
+            return self._flush_seq
+
+    # ------------------------------------------------------------- sink
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Tier rows -> store append + Graphite emission (one flush)."""
+        if batch_df.isEmpty():
+            return
+        from logtrics_spark.plans.pipeline import _day
+
+        out = (
+            batch_df.withColumn("day", _day("window_start"))
+            .withColumn("tier", F.lit(self.tier))
+            .withColumn("flush_seq", F.lit(self._next_flush_seq()))
+        )
+        self.io.write_partitioned(out, "tiers", ["tier", "day"], overwrite_dynamic=False)
+        g = self.conf.get("graphite", {})
+        lines = to_graphite_lines(batch_df, self.tier, prefix=g.get("prefix", "logtrics"))
+        if g.get("debug"):  # K3: log the registry snapshot per flush
+            for r in lines.limit(50).collect():
+                logger.debug("graphite batch=%s %s", batch_id, r["line"])
+        host, port = g.get("host"), g.get("port")
+        if host and port:
+            send_graphite_tcp(lines, str(host), int(port))
+
+    # -------------------------------------------------- streaming modes
+    def _start_stream(self, lines: DataFrame, name: str, once: bool):
+        points = self.engine.run(lines)
+        # update mode: each trigger re-emits changed windows' running
+        # aggregates — the reference's snapshot-per-tick flush.  The
+        # watermark only bounds state for genuinely late data.
+        agg = rollup_stream(points, self.tier, watermark="10 minutes")
+        ckpt = f"{self.checkpoint_root or self.store_root + '/_checkpoints'}/{name}"
+        writer = (
+            agg.writeStream.outputMode("update")
+            .queryName(f"logtrics-{name}")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(self._sink)
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.interval} seconds")
+        q = writer.start()
+        self.queries.append(q)
+        return q
+
+    # ------------------------------------------------ driver-side modes
+    def process_lines(self, lines: DataFrame) -> int:
+        """Batch drain path (console/udp): lines -> points -> tier rows
+        -> the same sink.  Returns the number of tier rows flushed.
+
+        The udp collector drains CUMULATIVELY (all datagrams so far), so
+        repeated drains are snapshot versions exactly like streaming
+        update emissions — latest-wins resolves them.
+        """
+        tier_rows = rollup(self.engine.run(lines), self.tier).localCheckpoint()
+        n = tier_rows.count()
+        if n:
+            self._sink(tier_rows, batch_id=-1)
+        return n
+
+    # ------------------------------------------------------------- read
+    def read_tier_latest(self) -> DataFrame:
+        """Latest snapshot per series+window (max_by over flush_seq)."""
+        t = self.io.read(f"tiers/tier={self.tier}").drop("day")
+        keys = ["source", "metric", "kind", "window_start"]
+        vals = [c for c in t.columns if c not in keys and c != "flush_seq"]
+        return t.groupBy(*keys).agg(
+            *[F.max_by(c, "flush_seq").alias(c) for c in vals]
+        )
+
+    def drain_udp(self) -> int:
+        if self.udp is None:
+            return 0
+        return self.process_lines(self.udp.dataframe(self.spark))
+
+    # -------------------------------------------------------- lifecycle
+    def start(self, once: bool = False, console_lines: list[str] | None = None) -> "Daemon":
+        """Wire every configured mode (config ``modes``, main.go:97-121)."""
+        modes = self.conf.get("modes") or []
+        if not modes:
+            raise ValueError("config has no modes")
+        for mode in modes:
+            if mode == "file":
+                if not self.file_dir:
+                    raise ValueError("mode 'file' needs file_dir (--file-dir)")
+                self._start_stream(
+                    stream_lines(self.spark, self.file_dir), "file", once
+                )
+            elif mode == "tcp":
+                t = self.conf.get("tcp", {})
+                self._start_stream(
+                    stream_socket(
+                        self.spark, t.get("host", "127.0.0.1"), int(t.get("port", 8888))
+                    ),
+                    "tcp",
+                    once,
+                )
+            elif mode == "udp":
+                u = self.conf.get("udp", {})
+                self.udp = UDPLineCollector(
+                    u.get("host", "127.0.0.1"), int(u.get("port", 0))
+                )
+            elif mode == "console":
+                if console_lines:
+                    self.process_lines(lines_df(self.spark, console_lines))
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+        return self
+
+    def await_once(self) -> dict[str, int]:
+        """availableNow run: drain streams + udp, return flush stats."""
+        for q in self.queries:
+            q.awaitTermination()
+        stats = {"streams": len(self.queries), "udp_rows": self.drain_udp()}
+        return stats
+
+    def stop(self) -> None:
+        for q in self.queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        if self.udp is not None:
+            self.drain_udp()
+            self.udp.stop()
+            self.udp = None
+
+
+def run_daemon(
+    spark: SparkSession,
+    conf: dict[str, Any],
+    engine: Engine,
+    store_root: str,
+    file_dir: str | None = None,
+    checkpoint_root: str | None = None,
+    once: bool = False,
+    console_lines: list[str] | None = None,
+) -> Daemon:
+    """Compose and start the deployment; caller owns await/stop."""
+    d = Daemon(spark, conf, engine, store_root, file_dir, checkpoint_root)
+    return d.start(once=once, console_lines=console_lines)
+
+
+def main_run(args, spark) -> int:
+    """CLI body for ``python -m logtrics_spark run`` (split for testing)."""
+    from logtrics_spark.config import load_toml
+
+    conf = load_toml(args.config)
+    engine = load_rules(args.rules)
+    d = run_daemon(
+        spark,
+        conf,
+        engine,
+        args.store,
+        file_dir=args.file_dir,
+        checkpoint_root=args.checkpoint,
+        once=args.once,
+    )
+    try:
+        if args.once:
+            stats = d.await_once()
+            print(json.dumps({"tier": d.tier, **stats}))
+        else:
+            spark.streams.awaitAnyTermination()
+    finally:
+        d.stop()
+    return 0

@@ -219,6 +219,35 @@ def test_ivf_topk_recall(spark, embs):
     assert hits / 50 >= 0.6, hits
 
 
+def test_ivf_topk_reuses_precomputed_assignment(spark, embs):
+    """assign_corpus(...).persist() passed via assigned= must give the
+    same results as the one-shot path (the multi-batch reuse contract)."""
+    from logtrics_spark.operators.similarity import (
+        assign_corpus,
+        ivf_topk,
+        train_centroids,
+    )
+
+    cents = train_centroids(embs, 8)
+    assigned = assign_corpus(embs, cents).persist()
+    try:
+        one_shot = ivf_topk(
+            embs, embs.where("vec_id < 5"), k=5, nprobe=4, centroids=cents
+        ).toPandas()
+        reused = ivf_topk(
+            embs, embs.where("vec_id < 5"), k=5, nprobe=4,
+            centroids=cents, assigned=assigned,
+        ).toPandas()
+        key = ["query_id", "rank"]
+        assert one_shot.sort_values(key).reset_index(drop=True)[["query_id", "id", "rank"]].equals(
+            reused.sort_values(key).reset_index(drop=True)[["query_id", "id", "rank"]]
+        )
+        with pytest.raises(ValueError, match="centroids"):
+            ivf_topk(embs, embs.limit(1), assigned=assigned)
+    finally:
+        assigned.unpersist()
+
+
 def test_ivf_assignment_scales_to_many_centroids(spark):
     """C=256 / dim=64: assignment must be one pandas_udf (numpy matmul
     per batch), never O(C*dim) Catalyst literal nodes — the plan stays
