@@ -101,8 +101,9 @@ def main(argv: list[str] | None = None) -> int:
 
     d = sub.add_parser("run", help="daemon: modes -> rules -> tiers -> graphite")
     d.add_argument("--config", required=True, help="reference-shaped config.toml")
-    d.add_argument("--rules", required=True,
-                   help="'<module|file.py>:<attr>' resolving to an Engine")
+    d.add_argument("--rules",
+                   help="'<module|file.py>:<attr>' resolving to an Engine "
+                        "(default: config scriptfile/scriptdir)")
     d.add_argument("--store", required=True, help="live tier store root")
     d.add_argument("--file-dir", help="directory for mode 'file' (filetail)")
     d.add_argument("--checkpoint", help="checkpoint root (default <store>/_checkpoints)")

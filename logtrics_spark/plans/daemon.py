@@ -89,6 +89,34 @@ def load_rules(spec: str) -> Engine:
     return engine
 
 
+def load_rules_from_config(conf: dict[str, Any]) -> Engine:
+    """The reference's scripts() resolution (app.go:96-111): scriptfile
+    wins; otherwise walk scriptdir for rule modules; error when none.
+
+    Python mapping: ``scriptfile = "rules.py"`` (attr defaults to
+    ``engine``; append ``:attr`` to override), ``scriptdir`` walks for
+    ``*.py`` files each exposing an ``engine`` and merges every module's
+    rules into one fan-out set (the reference also runs all scripts
+    against every event, script.go:55-63).
+    """
+    import pathlib
+
+    sf = conf.get("scriptfile")
+    if sf:
+        return load_rules(sf if ":" in pathlib.Path(sf).name else f"{sf}:engine")
+    sd = conf.get("scriptdir")
+    if sd:
+        files = sorted(p for p in pathlib.Path(sd).rglob("*.py"))
+        engines = [load_rules(f"{p}:engine") for p in files]
+        if not engines:
+            raise ValueError(f"no scripts found in scriptdir {sd!r}")  # app.go:107
+        merged = Engine()
+        for e in engines:
+            merged.rules.extend(e.rules)
+        return merged
+    raise ValueError("config has neither scriptfile nor scriptdir (and no --rules)")
+
+
 @dataclass
 class Daemon:
     """One configured deployment: sources -> rules -> tiers -> graphite."""
@@ -268,7 +296,7 @@ def main_run(args, spark) -> int:
     from logtrics_spark.config import load_toml
 
     conf = load_toml(args.config)
-    engine = load_rules(args.rules)
+    engine = load_rules(args.rules) if args.rules else load_rules_from_config(conf)
     d = run_daemon(
         spark,
         conf,

@@ -157,6 +157,49 @@ def test_daemon_cli_once(spark, tmp_path):
     assert got.where(F.col("metric") == "http.requests").count() > 0
 
 
+def test_rules_from_config_scriptfile_and_scriptdir(tmp_path):
+    """scripts() resolution parity (app.go:96-111): scriptfile wins,
+    scriptdir walks + merges, neither -> error, empty dir -> error."""
+    from logtrics_spark.config import load_toml
+    from logtrics_spark.plans.daemon import load_rules_from_config
+
+    rule_py = textwrap.dedent(
+        f"""
+        from logtrics_spark.api import Engine
+        engine = Engine()
+        engine.rule("@NAME@", r"{ACCESS_RULE}", lambda caps, m: m.counter("c").inc(1))
+        """
+    )
+    sdir = tmp_path / "scripts"
+    sdir.mkdir()
+    (sdir / "one.py").write_text(rule_py.replace("@NAME@", "one"))
+    (sdir / "two.py").write_text(rule_py.replace("@NAME@", "two"))
+    single = tmp_path / "single.py"
+    single.write_text(rule_py.replace("@NAME@", "solo"))
+
+    conf_file = tmp_path / "sf.toml"
+    conf_file.write_text(f'modes = ["file"]\nscriptfile = "{single}"\nscriptdir = "{sdir}"\n')
+    eng = load_rules_from_config(load_toml(str(conf_file)))
+    assert [r.name for r in eng.rules] == ["solo"]  # scriptfile wins
+
+    conf_dir = tmp_path / "sd.toml"
+    conf_dir.write_text(f'modes = ["file"]\nscriptdir = "{sdir}"\n')
+    eng = load_rules_from_config(load_toml(str(conf_dir)))
+    assert sorted(r.name for r in eng.rules) == ["one", "two"]  # merged
+
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    conf_empty = tmp_path / "se.toml"
+    conf_empty.write_text(f'modes = ["file"]\nscriptdir = "{empty}"\n')
+    with pytest.raises(ValueError, match="no scripts found"):
+        load_rules_from_config(load_toml(str(conf_empty)))
+
+    conf_none = tmp_path / "sn.toml"
+    conf_none.write_text('modes = ["file"]\n')
+    with pytest.raises(ValueError, match="neither scriptfile nor scriptdir"):
+        load_rules_from_config(load_toml(str(conf_none)))
+
+
 def test_load_rules_validation(tmp_path):
     from logtrics_spark.plans.daemon import load_rules
 
