@@ -93,11 +93,20 @@ _KIND_FIELDS: dict[str, list[tuple[str, str, object]]] = {
 }
 
 
+# timer value fields the reporter divides by DurationUnit before
+# formatting (graphite/graphite.go:71 sets time.Second over ns inputs);
+# count and the rates are NOT duration-valued
+_TIMER_DURATION_FIELDS = {"min", "max", "mean", "std-dev"} | {
+    f"{p}-percentile" for p in (50, 75, 95, 99, 999)
+}
+
+
 def to_graphite_lines(
     tier_df: DataFrame,
     tier: str,
     prefix: str = "logtrics",
     gauge_float: bool = False,
+    timer_duration_unit: float = 1.0,
 ) -> DataFrame:
     """Tier rows -> one ``path value epoch`` line per reported field.
 
@@ -108,6 +117,11 @@ def to_graphite_lines(
     ``gauge_float=True`` formats gauge values as %.6f for non-integer
     gauge streams; the reference's gauges are int64
     (graphite/graphite.go:115-125), hence the %d default.
+    ``timer_duration_unit`` divides timer duration fields before
+    formatting — the reference reports ns timers in seconds
+    (DurationUnit=time.Second, graphite/graphite.go:71), so a pipeline
+    whose timer values are nanoseconds passes 1e9; the default 1.0
+    reports values in their stored unit.
     """
     cols = set(tier_df.columns)
     secs = tier_seconds(tier)
@@ -124,12 +138,19 @@ def to_graphite_lines(
             seen.add(suffix)
             if kind == "gauge" and gauge_float:
                 fmt = _f
+            value: Column | str = col
+            if (
+                kind == "timer"
+                and timer_duration_unit != 1.0
+                and suffix in _TIMER_DURATION_FIELDS
+            ):
+                value = F.col(col).cast("double") / F.lit(float(timer_duration_unit))
             exprs.append(
                 F.format_string(
                     "%s.%s %s %s",
                     path,
                     F.lit(suffix),
-                    fmt(col),
+                    fmt(value),
                     F.format_string("%d", epoch),
                 )
             )

@@ -10,6 +10,7 @@ import threading
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 BASE = pd.Timestamp("2024-01-01 00:00:00")
 
@@ -76,6 +77,25 @@ def test_graphite_counter_falls_back_to_window_delta(spark, tier_df):
         for r in to_graphite_lines(tier_df.drop("cum_sum"), "1m").collect()
     )
     assert any(line.startswith("logtrics.web.req.total.count 100 ") for line in got)
+
+
+def test_graphite_timer_duration_unit(spark, tier_df):
+    """DurationUnit parity (graphite/graphite.go:71): ns-valued timers
+    report duration fields in seconds; count/mean-rate are untouched."""
+    from logtrics_spark.sinks.graphite import to_graphite_lines
+
+    ns = tier_df.where("kind = 'timer'").withColumn(
+        "min", F.col("min") * 1_000_000_000
+    ).withColumn("avg", F.col("avg") * 1_000_000_000)
+    got = sorted(
+        r["line"]
+        for r in to_graphite_lines(ns, "1m", timer_duration_unit=1e9).collect()
+    )
+    epoch = int(BASE.timestamp()) + 60
+    assert f"logtrics.api.lat.ms.min 2.000000 {epoch}" in got
+    assert f"logtrics.api.lat.ms.mean 11.000000 {epoch}" in got
+    assert f"logtrics.api.lat.ms.count 4 {epoch}" in got  # not scaled
+    assert f"logtrics.api.lat.ms.mean-rate 0.066667 {epoch}" in got  # not scaled
 
 
 def test_graphite_tcp_emission(spark, tier_df):
