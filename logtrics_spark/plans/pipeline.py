@@ -67,12 +67,21 @@ class RollupJob:
         tiers: list[str] | None = None,
         per_source_ts: bool = False,
         step_seconds: int = 1,
+        chunk_value_cols: list[str] | None = None,
     ) -> None:
+        """``chunk_value_cols`` picks the aggregate columns archived in
+        Gorilla chunks (default gorilla.DEFAULT_VALUE_COLS).  Retention
+        drops tier rows, so anything NOT in the chunks is gone for
+        dropped days — include "sum_sq" to keep timer stddev derivable
+        forever (read_tier_from_chunks then restores a stddev column);
+        rate/avg-style columns are derivable from cnt/sum and never need
+        archiving."""
         self.spark = spark
         self.io = ParquetTableIO(spark, root)
         self.tiers = tiers or TIER_ORDER
         self.per_source_ts = per_source_ts
         self.step_seconds = step_seconds
+        self.chunk_value_cols = chunk_value_cols
 
     # ------------------------------------------------------------ ingest
     def ingest_raw(self, df: DataFrame, mode: str = "overwrite_partitions") -> None:
@@ -240,7 +249,10 @@ class RollupJob:
             for tier, tdf, _pset in tier_plans:
                 t = tdf.withColumn("tier", F.lit(tier))
                 c = (
-                    compress_tier(tdf.drop("day"), tier, chunk_span="1d")
+                    compress_tier(
+                        tdf.drop("day"), tier, chunk_span="1d",
+                        value_cols=self.chunk_value_cols,
+                    )
                     .withColumn("day", _day("chunk_start"))
                     .withColumn("tier", F.lit(tier))
                 )
@@ -355,5 +367,17 @@ class RollupJob:
 
     def read_tier_from_chunks(self, tier: str) -> DataFrame:
         """Serve a tier by decompressing its Gorilla chunks (the post-
-        retention read path)."""
-        return decompress_chunks(self.io.read(f"chunks/tier={tier}").drop("day"))
+        retention read path).  When the archived columns include the
+        sum_sq moment, the timer stddev is restored as a derived column
+        (sample stddev, identical formula to the live tier rows)."""
+        out = decompress_chunks(
+            self.io.read(f"chunks/tier={tier}").drop("day"),
+            value_cols=self.chunk_value_cols,
+        )
+        if "sum_sq" in out.columns:
+            from logtrics_spark.operators.rollup import stddev_from_moments
+
+            out = out.withColumn(
+                "stddev", stddev_from_moments("cnt", "sum", "sum_sq")
+            )
+        return out

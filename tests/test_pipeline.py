@@ -220,6 +220,28 @@ def test_compact_tier_single_file_same_data(spark, tok, tmp_path):
     )
 
 
+def test_chunks_archive_sum_sq_restores_stddev(spark, tok, tmp_path):
+    """chunk_value_cols incl. sum_sq: the post-retention chunk read path
+    restores a stddev column equal to the live tier's (same moment
+    formula), so retention never loses the timer stddev."""
+    from logtrics_spark.operators.gorilla import DEFAULT_VALUE_COLS
+
+    job = RollupJob(
+        spark,
+        str(tmp_path / "store"),
+        step_seconds=STEP,
+        chunk_value_cols=[*DEFAULT_VALUE_COLS, "sum_sq"],
+    )
+    job.ingest_raw(tok)
+    job.run(run_id="r")
+    stored = job.read_tier("5m").toPandas()
+    from_chunks = job.read_tier_from_chunks("5m").toPandas()
+    _tiers_equal(stored, from_chunks, cols=("cnt", "sum", "min", "max", "avg", "last", "sum_sq"))
+    a = stored.sort_values(KEY).reset_index(drop=True)["stddev"].to_numpy()
+    b = from_chunks.sort_values(KEY).reset_index(drop=True)["stddev"].to_numpy()
+    assert np.allclose(a, b, rtol=1e-12, atol=0)
+
+
 def test_compact_partition_heals_crashed_swap(spark, tok, tmp_path):
     """A crash inside the (non-atomic) directory swap leaves the target
     missing and data in ._compact_old — the next call must restore it."""
