@@ -136,10 +136,17 @@ def minhash_signature(
     # one row per doc per task.  (Array-HOF formulations — per-seed
     # array_min(transform(...)) or a single aggregate fold — drop out of
     # codegen into the interpreted evaluator: 8-17s for 5k docs vs
-    # <1s for this shape.)
-    exploded = _shingle_rows(df, text_col, id_col, shingle_k)
+    # <1s for this shape.)  The shingle string is fingerprinted to a
+    # long ONCE, then the per-permutation hashes run over the 8-byte
+    # fingerprint — num_hashes x fewer string-bytes hashed per shingle;
+    # still a seeded universal family, so minhash estimates stay
+    # unbiased (the family changed in round 3, so signatures are not
+    # comparable across rounds).
+    exploded = _shingle_rows(df, text_col, id_col, shingle_k).select(
+        "id", F.xxhash64("sh").alias("fp")
+    )
     mins = exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64("fp", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     return mins.select("id", sig)
@@ -409,7 +416,17 @@ def ngram_jaccard_pairs(
     slim = df.select(F.col(id_col), F.col(text_col)).join(
         F.broadcast(cand_ids.withColumnRenamed("id", id_col)), id_col, "left_semi"
     )
-    gram_rows = _shingle_rows(slim, text_col, id_col, n).distinct()  # (id, sh)
+    # fingerprint each shingle to a long BEFORE the distinct + joins:
+    # the dedup shuffle and the (id_b, sh) join then move/compare 8-byte
+    # keys instead of multi-word strings (~4x fewer shuffle bytes, long
+    # vs string comparisons in the hash join).  Collision cost: a pair's
+    # intersection can be off by 1 with probability ~|A||B|/2^64 —
+    # negligible against any practical threshold.
+    gram_rows = (
+        _shingle_rows(slim, text_col, id_col, n)
+        .select("id", F.xxhash64("sh").alias("sh"))
+        .distinct()
+    )  # (id, sh_fp64)
     sizes = gram_rows.groupBy("id").agg(F.count("*").alias("sz"))
 
     pair_keys = pairs.select("id_a", "id_b")
