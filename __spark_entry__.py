@@ -176,6 +176,22 @@ def q_meter_rate_1h(spark, sf_dir):
     )
 
 
+def q_cascade_stddev_1h(spark, sf_dir):
+    """stddev THROUGH the cascade (1m -> 5m -> 1h reaggregated moments)
+    must equal a direct hourly stddev_samp — the composability proof
+    the reference's timer std-dev relies on at every retention tier."""
+    from logtrics_spark.operators.rollup import cascade, rollup
+
+    r1m = rollup(_events_points(spark, sf_dir), "1m")
+    r1h = cascade(cascade(r1m, "1m", "5m"), "5m", "1h")
+    return r1h.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        F.col("cnt").alias("cnt"),
+        _q("stddev", 4).alias("stddev"),
+    )
+
+
 def q_timer_pcts_1d(spark, sf_dir):
     from logtrics_spark.operators.rollup import timer_percentiles
 
@@ -604,6 +620,39 @@ def q_tokseq_tiers(spark, sf_dir):
     )
 
 
+def q_tokseq_tiers_arrow(spark, sf_dir):
+    """The ARROW extraction path (mapInPandas handler — the north rule's
+    'vectorized pandas/Arrow UDFs' stage) through the same 1m->5m->1h
+    cascade, against the same dumped-point oracle as tokseq_tiers: the
+    programmable handler must be value-identical to the native explode.
+    """
+    from logtrics_spark.datagen import gen_tokseq
+    from logtrics_spark.operators.extract import extract_points_arrow
+    from logtrics_spark.operators.rollup import cascade, rollup
+
+    tok = gen_tokseq(spark, 20_000, partitions=8)
+    pts = extract_points_arrow(tok, step_seconds=5)
+    (
+        pts.select(
+            "source", "metric", "kind",
+            F.unix_timestamp("ts").cast("long").alias("es"), "value",
+        )
+        .write.mode("overwrite")
+        .parquet(TOKSEQ_DUMP + "_arrow")
+    )
+    back = spark.read.parquet(TOKSEQ_DUMP + "_arrow").select(
+        "source", "metric", "kind",
+        F.timestamp_seconds("es").alias("ts"), "value",
+    )
+    r1m = rollup(back, "1m")
+    return cascade(cascade(r1m, "1m", "5m"), "5m", "1h").select(
+        "source", "metric", "kind",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt", "sum", "min", "max",
+        _q("avg", 6).alias("avg"), "last",
+    )
+
+
 def q_gorilla_roundtrip(spark, sf_dir):
     """Compress events 1m tier to Gorilla chunks, decompress back.
 
@@ -672,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "cascade_1h": q_cascade_1h,
+        "cascade_stddev_1h": q_cascade_stddev_1h,
         "cum_counter_1d": q_cum_counter_1d,
         "gauge_last_1h": q_gauge_last_1h,
         "meter_rate_1h": q_meter_rate_1h,
@@ -702,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "tokseq_tiers": q_tokseq_tiers,
+        "tokseq_tiers_arrow": q_tokseq_tiers_arrow,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "multimodal_features": q_multimodal_features,
     }
@@ -712,6 +763,16 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _rollup_sql("1m"),
         "rollup_1h": _rollup_sql("1h"),
         "cascade_1h": _rollup_sql("1h"),
+        # direct hourly sample stddev — the cascade reaggregates moments,
+        # DuckDB computes it in one pass; equality proves composability
+        "cascade_stddev_1h": """
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                   count(*) AS cnt,
+                   floor((CASE WHEN count(*) > 1 THEN stddev_samp(value) ELSE 0 END)
+                         * 10000.0 + 0.5 + 1e-6) / 10000.0 AS stddev
+            FROM events GROUP BY 1, 2
+        """,
         "cum_counter_1d": """
             WITH d AS (
               SELECT event_type AS source,
@@ -1072,6 +1133,17 @@ def oracle_sql() -> dict[str, str]:
                    floor((avg(value)) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS avg,
                    arg_max(value, es) AS last
             FROM read_parquet('{TOKSEQ_DUMP}/*.parquet')
+            GROUP BY 1, 2, 3, 4
+        """,
+        # the Arrow extractor's own dump, same direct-1h oracle shape
+        "tokseq_tiers_arrow": f"""
+            SELECT source, metric, kind,
+                   CAST(floor(es/3600)*3600 AS BIGINT) AS ws,
+                   count(*) AS cnt, CAST(sum(value) AS BIGINT) AS sum,
+                   min(value) AS min, max(value) AS max,
+                   floor((avg(value)) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS avg,
+                   arg_max(value, es) AS last
+            FROM read_parquet('{TOKSEQ_DUMP}_arrow/*.parquet')
             GROUP BY 1, 2, 3, 4
         """,
         # nprobe == n_centroids -> IVF degenerates to the exact top-k.

@@ -109,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--checkpoint", help="checkpoint root (default <store>/_checkpoints)")
     d.add_argument("--once", action="store_true",
                    help="availableNow: drain sources once and exit")
+    d.add_argument("--cascade", action="store_true",
+                   help="after --once: roll the store up to the coarser "
+                        "configured tiers (continuous-aggregate maintenance)")
     d.set_defaults(fn=_cmd_run)
 
     r = sub.add_parser("rollup", help="run the resumable batch rollup job")

@@ -209,14 +209,45 @@ class Daemon:
         return n
 
     # ------------------------------------------------------------- read
-    def read_tier_latest(self) -> DataFrame:
+    def read_tier_latest(self, tier: str | None = None) -> DataFrame:
         """Latest snapshot per series+window (max_by over flush_seq)."""
-        t = self.io.read(f"tiers/tier={self.tier}").drop("day")
+        t = self.io.read(f"tiers/tier={tier or self.tier}").drop("day")
         keys = ["source", "metric", "kind", "window_start"]
         vals = [c for c in t.columns if c not in keys and c != "flush_seq"]
         return t.groupBy(*keys).agg(
             *[F.max_by(c, "flush_seq").alias(c) for c in vals]
         )
+
+    # -------------------------------------------------------- cascading
+    def cascade_tiers(self, tiers: list[str] | None = None) -> dict[str, int]:
+        """Roll the live store's finest tier up to the coarser configured
+        tiers (offline continuous-aggregate maintenance — the daemon
+        only streams the finest tier; run this periodically or after
+        --once drains).  Each coarser tier is recomputed from the
+        latest finest snapshot and written as one new flush_seq version,
+        so reruns converge via the same latest-wins rule.  Returns
+        {tier: rows written}.
+        """
+        from logtrics_spark.operators.rollup import cascade
+        from logtrics_spark.plans.pipeline import _day
+
+        tiers = tiers or (self.conf.get("graphite", {}).get("tiers") or [self.tier])
+        if tiers[0] != self.tier:
+            raise ValueError(f"tier list must start at the streamed tier {self.tier!r}")
+        prev = self.read_tier_latest().localCheckpoint()
+        prev_tier = self.tier
+        counts: dict[str, int] = {}
+        for t in tiers[1:]:
+            cur = cascade(prev, prev_tier, t).localCheckpoint()
+            out = (
+                cur.withColumn("day", _day("window_start"))
+                .withColumn("tier", F.lit(t))
+                .withColumn("flush_seq", F.lit(self._next_flush_seq()))
+            )
+            self.io.write_partitioned(out, "tiers", ["tier", "day"], overwrite_dynamic=False)
+            counts[t] = cur.count()
+            prev, prev_tier = cur, t
+        return counts
 
     def drain_udp(self) -> int:
         if self.udp is None:
@@ -309,6 +340,8 @@ def main_run(args, spark) -> int:
     try:
         if args.once:
             stats = d.await_once()
+            if getattr(args, "cascade", False):
+                stats["cascaded"] = d.cascade_tiers()
             print(json.dumps({"tier": d.tier, **stats}))
         else:
             spark.streams.awaitAnyTermination()

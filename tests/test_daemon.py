@@ -118,6 +118,37 @@ def test_daemon_console_and_udp_modes(spark, tmp_path):
     assert udp_rows[udp_rows.metric == "http.requests"]["sum"].sum() == 2
 
 
+def test_daemon_cascade_tiers(spark, tmp_path):
+    """Offline continuous-aggregate maintenance: the live 1m store rolls
+    up to 5m/1h; reruns converge through latest-wins (same totals)."""
+    from logtrics_spark.config import load_toml
+    from logtrics_spark.plans.daemon import Daemon
+
+    p = tmp_path / "c.toml"
+    p.write_text(
+        'modes = ["console"]\n[graphite]\ntiers = ["1m", "5m", "1h"]\n'
+    )
+    conf = load_toml(str(p))
+    d = Daemon(spark, conf, _engine(), str(tmp_path / "store"))
+    d.start(once=True, console_lines=LINES)
+    counts = d.cascade_tiers()
+    assert set(counts) == {"5m", "1h"} and all(v > 0 for v in counts.values())
+    fine = d.read_tier_latest("1m").toPandas()
+    hourly = d.read_tier_latest("1h").toPandas()
+    m = "http.requests"
+    assert (
+        hourly[hourly.metric == m]["sum"].sum() == fine[fine.metric == m]["sum"].sum() == 4
+    )
+    # rerun converges: one more snapshot version, identical latest view
+    d.cascade_tiers()
+    hourly2 = d.read_tier_latest("1h").toPandas()
+    key = ["source", "metric", "kind", "window_start"]
+    assert hourly.sort_values(key).reset_index(drop=True).equals(
+        hourly2.sort_values(key).reset_index(drop=True)
+    )
+    d.stop()
+
+
 def test_daemon_cli_once(spark, tmp_path):
     """`python -m logtrics_spark run --once` end to end, in-process."""
     from logtrics_spark.__main__ import main
