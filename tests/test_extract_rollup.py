@@ -102,6 +102,47 @@ def test_rollup_matches_oracle(spark, tok_df, tok_pdf, tier):
     _assert_frame_equal(got, exp)
 
 
+def test_stddev_moment_formula_properties(spark):
+    """stddev_from_moments vs numpy two-pass sample stddev, including
+    the adversarial regimes of the moment form: n=1 (must be 0, not
+    NaN), constant series with a large offset (catastrophic
+    cancellation -> variance clamped at 0, never sqrt(negative)), and
+    random int series."""
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logtrics_spark.operators.rollup import stddev_from_moments
+    from pyspark.sql import functions as F
+
+    def spark_stddev(values: list[int]) -> float:
+        df = spark.createDataFrame(pd.DataFrame({"v": pd.Series(values, dtype="int64")}))
+        row = df.agg(
+            F.count("v").alias("c"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        ).select(
+            stddev_from_moments("c", "s", "ss").alias("std")
+        ).collect()[0]
+        return row["std"]
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=50)
+    )
+    def check(values):
+        got = spark_stddev(values)
+        exp = float(np.std(np.array(values, dtype="float64"), ddof=1)) if len(values) > 1 else 0.0
+        assert got >= 0.0 and np.isfinite(got)
+        assert abs(got - exp) <= 1e-6 * max(1.0, exp), (values, got, exp)
+
+    check()
+    # constant series with a huge offset: two-pass gives 0; the moment
+    # form's subtraction can go slightly negative -> must clamp to 0
+    assert spark_stddev([10**9] * 7) == 0.0
+    assert spark_stddev([42]) == 0.0  # n=1
+
+
 def test_cascade_equals_direct(spark, tok_df):
     """Associativity: raw->1h directly == raw->1m->5m->1h (SURVEY.md §5.3)."""
     pts = extract_points(tok_df)
