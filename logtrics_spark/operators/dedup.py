@@ -161,6 +161,7 @@ def minhash_lsh_dupes(
     shingle_k: int = 5,
     threshold: float | None = None,
     include_est: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH on minhash signatures.
 
@@ -182,20 +183,28 @@ def minhash_lsh_dupes(
     is exposed as ``result.persisted_sigs`` — long-lived sessions that
     call this repeatedly should ``result.persisted_sigs.unpersist()``
     once the returned plan has been materialized, or cached state
-    accumulates until LRU eviction.  With ``include_est=False`` and no
-    threshold nothing is persisted.
+    accumulates until LRU eviction.  NB: the attribute lives on the
+    returned object only — any further transformation loses it, so grab
+    it before chaining.  For fully explicit lifetimes pass
+    ``sigs=minhash_signature(...).persist()`` (caller-managed, same
+    pattern as similarity.assign_corpus; MUST be built with the same
+    num_hashes/shingle_k) and nothing is persisted here.
+    With ``include_est=False`` and no threshold nothing is persisted
+    either.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    # signatures are reused by the banding pass and (when est_jaccard is
-    # wanted) by two post-dedup joins: persist so one row per doc is
-    # computed once — tier-sized state (num_hashes longs per doc), and
-    # LRU-evictable under MEMORY_AND_DISK if the corpus is huge
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
     need_est = include_est or threshold is not None
-    if need_est:
-        sigs = sigs.persist()
+    caller_sigs = sigs is not None
+    if not caller_sigs:
+        # signatures are reused by the banding pass and (when est_jaccard
+        # is wanted) by two post-dedup joins: persist so one row per doc
+        # is computed once — tier-sized state (num_hashes longs per doc),
+        # LRU-evictable under MEMORY_AND_DISK if the corpus is huge
+        sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+        if need_est:
+            sigs = sigs.persist()
 
     # band rows carry ONLY (id, band, bucket): the self-join shuffle is
     # 3 longs per row.  Round-1 carried both 64-long signatures through
@@ -256,7 +265,8 @@ def minhash_lsh_dupes(
     )
     if threshold is not None:
         out = out.where(F.col("est_jaccard") >= threshold)
-    out.persisted_sigs = sigs  # cleanup handle (see docstring)
+    if not caller_sigs:
+        out.persisted_sigs = sigs  # cleanup handle (see docstring)
     return out
 
 

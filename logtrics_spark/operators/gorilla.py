@@ -588,7 +588,13 @@ def compress_tier(
 
 
 def decompress_chunks(chunk_df: DataFrame, value_cols: list[str] | None = None) -> DataFrame:
-    """Chunk table -> tier rows (inverse of compress_tier)."""
+    """Chunk table -> tier rows (inverse of compress_tier).
+
+    ``value_cols`` must be the writer's list IN WRITER ORDER: the chunk
+    header stores only the column COUNT (validated below — a mismatch
+    raises instead of silently truncating/mislabeling), names travel in
+    the caller's config exactly like a parquet-free columnar format.
+    """
     value_cols = value_cols or DEFAULT_VALUE_COLS
     vcols = list(value_cols)
     out_schema = T.StructType(
@@ -606,6 +612,12 @@ def decompress_chunks(chunk_df: DataFrame, value_cols: list[str] | None = None) 
             frames = []
             for row in pdf.itertuples(index=False):
                 ts, cols = decompress_chunk(bytes(row.chunk))
+                if len(cols) != len(vcols):
+                    raise ValueError(
+                        f"chunk encodes {len(cols)} value columns but "
+                        f"value_cols names {len(vcols)} ({vcols}); pass the "
+                        "writer's chunk_value_cols (in writer order)"
+                    )
                 frame = {
                     "source": np.repeat(row.source, len(ts)),
                     "metric": np.repeat(row.metric, len(ts)),

@@ -80,6 +80,8 @@ def load_rules(spec: str) -> Engine:
         mod_spec.loader.exec_module(module)
     else:
         module = importlib.import_module(path)
+    if not hasattr(module, attr):
+        raise ValueError(f"rules spec {spec!r}: module defines no attribute {attr!r}")
     obj = getattr(module, attr)
     engine = obj() if callable(obj) and not isinstance(obj, Engine) else obj
     if not isinstance(engine, Engine):
@@ -106,7 +108,12 @@ def load_rules_from_config(conf: dict[str, Any]) -> Engine:
         return load_rules(sf if ":" in pathlib.Path(sf).name else f"{sf}:engine")
     sd = conf.get("scriptdir")
     if sd:
-        files = sorted(p for p in pathlib.Path(sd).rglob("*.py"))
+        # underscore-prefixed files (__init__.py, _helpers.py) are
+        # support modules, not rule scripts — the .lua suffix filter
+        # plays this role in the reference's walk (app.go:102)
+        files = sorted(
+            p for p in pathlib.Path(sd).rglob("*.py") if not p.name.startswith("_")
+        )
         engines = [load_rules(f"{p}:engine") for p in files]
         if not engines:
             raise ValueError(f"no scripts found in scriptdir {sd!r}")  # app.go:107
@@ -151,25 +158,35 @@ class Daemon:
 
     # ------------------------------------------------------------- sink
     def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Tier rows -> store append + Graphite emission (one flush)."""
-        if batch_df.isEmpty():
-            return
-        from logtrics_spark.plans.pipeline import _day
+        """Tier rows -> store append + Graphite emission (one flush).
 
-        out = (
-            batch_df.withColumn("day", _day("window_start"))
-            .withColumn("tier", F.lit(self.tier))
-            .withColumn("flush_seq", F.lit(self._next_flush_seq()))
-        )
-        self.io.write_partitioned(out, "tiers", ["tier", "day"], overwrite_dynamic=False)
-        g = self.conf.get("graphite", {})
-        lines = to_graphite_lines(batch_df, self.tier, prefix=g.get("prefix", "logtrics"))
-        if g.get("debug"):  # K3: log the registry snapshot per flush
-            for r in lines.limit(50).collect():
-                logger.debug("graphite batch=%s %s", batch_id, r["line"])
-        host, port = g.get("host"), g.get("port")
-        if host and port:
-            send_graphite_tcp(lines, str(host), int(port))
+        The frame is persisted for the flush: up to four actions consume
+        it (isEmpty probe, store write, debug snapshot, TCP emit), and an
+        unpersisted foreachBatch frame re-runs the micro-batch
+        aggregation per action.
+        """
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            from logtrics_spark.plans.pipeline import _day
+
+            out = (
+                batch_df.withColumn("day", _day("window_start"))
+                .withColumn("tier", F.lit(self.tier))
+                .withColumn("flush_seq", F.lit(self._next_flush_seq()))
+            )
+            self.io.write_partitioned(out, "tiers", ["tier", "day"], overwrite_dynamic=False)
+            g = self.conf.get("graphite", {})
+            lines = to_graphite_lines(batch_df, self.tier, prefix=g.get("prefix", "logtrics"))
+            if g.get("debug"):  # K3: log the registry snapshot per flush
+                for r in lines.limit(50).collect():
+                    logger.debug("graphite batch=%s %s", batch_id, r["line"])
+            host, port = g.get("host"), g.get("port")
+            if host and port:
+                send_graphite_tcp(lines, str(host), int(port))
+        finally:
+            batch_df.unpersist()
 
     # -------------------------------------------------- streaming modes
     def _start_stream(self, lines: DataFrame, name: str, once: bool):
@@ -211,7 +228,13 @@ class Daemon:
     # ------------------------------------------------------------- read
     def read_tier_latest(self, tier: str | None = None) -> DataFrame:
         """Latest snapshot per series+window (max_by over flush_seq)."""
-        t = self.io.read(f"tiers/tier={tier or self.tier}").drop("day")
+        tier = tier or self.tier
+        if not self.io.exists(f"tiers/tier={tier}"):
+            raise ValueError(
+                f"store {self.store_root!r} has no tier={tier} rows yet "
+                "(no batch produced matching lines?)"
+            )
+        t = self.io.read(f"tiers/tier={tier}").drop("day")
         keys = ["source", "metric", "kind", "window_start"]
         vals = [c for c in t.columns if c not in keys and c != "flush_seq"]
         return t.groupBy(*keys).agg(
@@ -234,6 +257,8 @@ class Daemon:
         tiers = tiers or (self.conf.get("graphite", {}).get("tiers") or [self.tier])
         if tiers[0] != self.tier:
             raise ValueError(f"tier list must start at the streamed tier {self.tier!r}")
+        if not self.io.exists(f"tiers/tier={self.tier}"):
+            return {}  # nothing flushed yet (e.g. no line matched any rule)
         prev = self.read_tier_latest().localCheckpoint()
         prev_tier = self.tier
         counts: dict[str, int] = {}
@@ -344,7 +369,24 @@ def main_run(args, spark) -> int:
                 stats["cascaded"] = d.cascade_tiers()
             print(json.dumps({"tier": d.tier, **stats}))
         else:
-            spark.streams.awaitAnyTermination()
+            if not d.queries and d.udp is None:
+                raise ValueError(
+                    "nothing to run continuously: configure a streaming "
+                    "mode (file/tcp) or udp, or use --once for console"
+                )
+            # flush tick (graphite.interval, main.go's reporter cadence):
+            # streaming queries flush via their trigger; the udp harness
+            # is driver-side and must be drained here — without this a
+            # udp-only daemon would block forever and buffer unbounded
+            import time
+
+            while True:
+                if d.queries:
+                    if spark.streams.awaitAnyTermination(timeout=d.interval):
+                        break  # a query terminated (error or stop)
+                else:
+                    time.sleep(d.interval)
+                d.drain_udp()
     finally:
         d.stop()
     return 0

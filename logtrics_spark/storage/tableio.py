@@ -160,13 +160,26 @@ class ParquetTableIO:
 
     # ---- lineage log ---------------------------------------------------
     _last_seal_seq = 0  # process-wide floor so same-µs appends still increase
+    _log_floor_loaded = False  # per-instance: existing-log max folded in once
 
     def _next_seal_seq(self) -> int:
         """Monotonic sequence for lineage appends: wall-clock µs, bumped
-        past any value already in the log (so restarts on a clock that
-        went backwards, or multiple appends in one µs, stay ordered)."""
+        past any value already in the log — the first append per
+        instance folds in the stored max, so a restart on a clock that
+        stepped backwards (or a second writer) can never stamp below
+        existing rows; within a process the class floor covers same-µs
+        appends."""
         import time
 
+        # getattr: IcebergTableIO borrows this method and lacks the class attr
+        if not getattr(self, "_log_floor_loaded", False):
+            self._log_floor_loaded = True
+            if self.exists("lineage"):
+                row = self.read_lineage().agg(F.max("seal_seq")).collect()[0]
+                stored = row[0] or 0
+                ParquetTableIO._last_seal_seq = max(
+                    ParquetTableIO._last_seal_seq, stored
+                )
         now = int(time.time() * 1_000_000)
         seq = max(now, ParquetTableIO._last_seal_seq + 1)
         ParquetTableIO._last_seal_seq = seq
@@ -204,12 +217,19 @@ class ParquetTableIO:
         Ordered by the monotonic seal_seq (append time), never by run_id —
         run ids are random uuid text, so max_by over them is not temporal
         and an unseal->reseal history would resolve arbitrarily.  Rows
-        from pre-seal_seq logs sort before any stamped row.
+        from pre-seal_seq logs sort before any stamped row, tie-broken
+        among themselves by run_id: wrong as temporal order (the bug
+        this column fixes) but DETERMINISTIC, so legacy histories at
+        least resolve the same way on every read.
         """
         lin = self.read_lineage()
+        order = F.struct(
+            F.coalesce("seal_seq", F.lit(-1)).alias("s"),
+            F.coalesce("run_id", F.lit("")).alias("r"),
+        )
         return (
             lin.groupBy("tier", "source", "window_start")
-            .agg(F.max_by("sealed", F.coalesce("seal_seq", F.lit(-1))).alias("sealed"))
+            .agg(F.max_by("sealed", order).alias("sealed"))
             .where(F.col("sealed"))
             .drop("sealed")
         )

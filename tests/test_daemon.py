@@ -118,6 +118,22 @@ def test_daemon_console_and_udp_modes(spark, tmp_path):
     assert udp_rows[udp_rows.metric == "http.requests"]["sum"].sum() == 2
 
 
+def test_daemon_empty_store_paths(spark, tmp_path):
+    """No matching lines ever flushed: cascade_tiers returns {} and
+    read_tier_latest raises a clear error, not a raw path exception."""
+    from logtrics_spark.config import load_toml
+    from logtrics_spark.plans.daemon import Daemon
+
+    p = tmp_path / "c.toml"
+    p.write_text('modes = ["console"]\n[graphite]\ntiers = ["1m", "1h"]\n')
+    d = Daemon(spark, load_toml(str(p)), _engine(), str(tmp_path / "nostore"))
+    d.start(once=True, console_lines=["no rule matches this line"])
+    assert d.cascade_tiers() == {}
+    with pytest.raises(ValueError, match="no tier=1m rows"):
+        d.read_tier_latest()
+    d.stop()
+
+
 def test_daemon_cascade_tiers(spark, tmp_path):
     """Offline continuous-aggregate maintenance: the live 1m store rolls
     up to 5m/1h; reruns converge through latest-wins (same totals)."""
@@ -218,6 +234,12 @@ def test_rules_from_config_scriptfile_and_scriptdir(tmp_path):
     eng = load_rules_from_config(load_toml(str(conf_dir)))
     assert sorted(r.name for r in eng.rules) == ["one", "two"]  # merged
 
+    # support modules are skipped, not loaded as rule scripts
+    (sdir / "__init__.py").write_text("")
+    (sdir / "_helpers.py").write_text("x = 1\n")
+    eng = load_rules_from_config(load_toml(str(conf_dir)))
+    assert sorted(r.name for r in eng.rules) == ["one", "two"]
+
     empty = tmp_path / "emptydir"
     empty.mkdir()
     conf_empty = tmp_path / "se.toml"
@@ -238,6 +260,8 @@ def test_load_rules_validation(tmp_path):
     bad.write_text("x = 42\n")
     with pytest.raises(ValueError, match="not an Engine"):
         load_rules(f"{bad}:x")
+    with pytest.raises(ValueError, match="no attribute"):
+        load_rules(f"{bad}:engine")
     empty = tmp_path / "empty.py"
     empty.write_text("from logtrics_spark.api import Engine\nengine = Engine()\n")
     with pytest.raises(ValueError, match="no rules"):

@@ -242,6 +242,26 @@ def test_chunks_archive_sum_sq_restores_stddev(spark, tok, tmp_path):
     assert np.allclose(a, b, rtol=1e-12, atol=0)
 
 
+def test_decompress_rejects_mismatched_value_cols(spark, tok, tmp_path):
+    """The chunk header's column count gates decompression: reading a
+    7-column chunk with a 6-name config (or vice versa) must raise, not
+    silently truncate or mislabel streams."""
+    from logtrics_spark.operators.gorilla import (
+        DEFAULT_VALUE_COLS,
+        compress_tier,
+        decompress_chunks,
+    )
+
+    tiers = rollup(extract_points(tok, step_seconds=STEP), "1h")
+    chunks = compress_tier(
+        tiers, "1h", value_cols=[*DEFAULT_VALUE_COLS, "sum_sq"]
+    ).localCheckpoint()
+    with pytest.raises(Exception, match="7 value columns.*names 6"):
+        decompress_chunks(chunks).count()  # default 6-name config
+    ok = decompress_chunks(chunks, value_cols=[*DEFAULT_VALUE_COLS, "sum_sq"])
+    assert ok.count() == tiers.count()
+
+
 def test_compact_partition_heals_crashed_swap(spark, tok, tmp_path):
     """A crash inside the (non-atomic) directory swap leaves the target
     missing and data in ._compact_old — the next call must restore it."""
@@ -300,3 +320,16 @@ def test_sealed_units_latest_wins_on_seal_seq(spark, tmp_path):
     # seal_seq strictly increases across appends
     seqs = [r["seal_seq"] for r in io.read_lineage().orderBy("seal_seq").collect()]
     assert seqs == sorted(seqs) and len(set(seqs)) == 3
+    # restart safety: a fresh instance on a clock stepped BACKWARDS must
+    # stamp above the stored max (log floor folded in on first append)
+    from unittest import mock
+
+    from logtrics_spark.storage.tableio import ParquetTableIO as PIO
+
+    PIO._last_seal_seq = 0  # simulate new process
+    io2 = PIO(spark, str(tmp_path / "lineage_store"))
+    with mock.patch("time.time", return_value=1.0):  # clock far in the past
+        io2.append_lineage([{**base, "sealed": False, "run_id": "late"}])
+    assert io2.sealed_units().count() == 0  # newest append wins again
+    seqs2 = [r["seal_seq"] for r in io2.read_lineage().collect()]
+    assert max(seqs2) > max(seqs)  # stamped above the stored max, not at 1e6
