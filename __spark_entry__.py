@@ -584,6 +584,33 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Verified near-dup pairs -> connected components (the keep/drop
+    plan): transitive closure by min-label propagation, oracled by a
+    DuckDB recursive-CTE reachability closure over the brute-force
+    exact-Jaccard pair set (recall equality of the LSH path is already
+    proven by minhash_pairs)."""
+    from logtrics_spark.operators.dedup import (
+        dedup_groups,
+        minhash_lsh_dupes,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_dupes(
+        docs, num_hashes=64, bands=32, include_est=False
+    ).localCheckpoint()
+    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5).where(
+        F.col("jaccard") >= 0.6
+    )
+    groups = dedup_groups(ver.select("id_a", "id_b"))
+    return groups.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        (F.col("id") == F.col("group_id")).alias("keep"),
+    )
+
+
 def q_tokseq_tiers(spark, sf_dir):
     """Flagship token pipeline: synth table -> extract -> 1m -> 1h.
 
@@ -751,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_groups": q_dedup_groups,
         "tokseq_tiers": q_tokseq_tiers,
         "tokseq_tiers_arrow": q_tokseq_tiers_arrow,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -1123,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         # ground truth both LSH paths must fully recover (recall check).
         "minhash_pairs": _pairs_jaccard_sql(),
         "simhash_pairs": _pairs_jaccard_sql(),
+        "dedup_groups": _dedup_groups_sql(),
         # Direct 1h rollup over the dumped point table (the Spark side
         # cascades 1m->5m->1h over the same dump; associativity).
         "tokseq_tiers": f"""
@@ -1209,6 +1238,40 @@ def _pairs_jaccard_sql(threshold: float = 0.6, k: int = 5) -> str:
         SELECT id_a, id_b,
                floor(j * 10000.0 + 0.5 + 1e-6) / 10000.0 AS jaccard
         FROM p WHERE j >= {threshold}
+    """
+
+
+def _dedup_groups_sql(threshold: float = 0.6, k: int = 5) -> str:
+    """Recursive reachability closure over the brute-force pair set —
+    the ground-truth twin of dedup.dedup_groups (same pair CTEs as
+    _pairs_jaccard_sql)."""
+    return rf"""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(words) >= {k} THEN
+              list_distinct(list_transform(range(1, len(words) - {k - 2}),
+                            i -> array_to_string(words[i:i+{k - 1}], ' ')))
+            ELSE [array_to_string(words, ' ')] END AS grams
+          FROM w),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}),
+        e AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+        n AS (SELECT DISTINCT a AS id FROM e),
+        r AS (
+          SELECT id, id AS reach FROM n
+          UNION
+          SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach)
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(min(reach) AS BIGINT) AS group_id,
+               id = min(reach) AS keep
+        FROM r GROUP BY id
     """
 
 

@@ -464,6 +464,67 @@ def ngram_jaccard_pairs(
     return out
 
 
+# -------------------------------------------- duplicate group closure
+
+
+def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs -> connected components: (id, group_id) with
+    group_id = the component's minimum member id (the canonical keeper;
+    ``id == group_id`` marks the row to keep).
+
+    Duplicate relations are transitive in effect (A~B, B~C usually means
+    A,B,C are one document family), so production dedup collapses the
+    verified pair set into groups before dropping rows — without this a
+    chain A-B-C keeps BOTH A and C when pairwise dedup drops only B.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(its label, neighbors' labels); converges in O(component
+    diameter) rounds, and near-dup components are shallow (stars/short
+    chains), so a handful of shuffles ends it.  Each round is one
+    (edges x labels) hash join + a groupBy min — both map-side-partial,
+    both keyed on longs.  localCheckpoint per round truncates the plan
+    (iterative lineage otherwise grows exponentially).  For adversarial
+    giant components (diameter > max_iter) raise max_iter or use the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) — not needed for dedup shapes.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("label").alias("nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("min_nbr"))
+        )
+        new = (
+            labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("min_nbr", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "id")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select("id", F.col("label").alias("group_id"))
+
+
 # -------------------------------------------------- embedding cosine
 
 

@@ -137,6 +137,29 @@ def test_simhash_band_guarantee(spark):
     assert {1, 2, 3} <= set(got16["id_b"])
 
 
+def test_dedup_groups_transitive_closure(spark):
+    """Chains, stars, singleton edges, and disjoint components all
+    collapse to min-member groups; pairwise-only dedup would keep both
+    ends of the A-B-C chain."""
+    from logtrics_spark.operators.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # chain 1-2-3-4, star 10<-{11,12,13}, pair (20,21)
+                "id_a": [1, 2, 3, 10, 10, 10, 20],
+                "id_b": [2, 3, 4, 11, 12, 13, 21],
+            }
+        )
+    )
+    got = dedup_groups(pairs).toPandas().set_index("id")["group_id"].to_dict()
+    assert {k: got[k] for k in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert {k: got[k] for k in (10, 11, 12, 13)} == {10: 10, 11: 10, 12: 10, 13: 10}
+    assert got[20] == 20 and got[21] == 20
+    keepers = {k for k, v in got.items() if k == v}
+    assert keepers == {1, 10, 20}
+
+
 def test_embedding_cosine_dupes(spark, embs):
     from logtrics_spark.operators.dedup import embedding_cosine_dupes
 
