@@ -549,6 +549,7 @@ def compress_tier(
     tier: str,
     chunk_span: str | None = None,
     value_cols: list[str] | None = None,
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Tier rows -> one Gorilla chunk per (series, chunk window).
 
@@ -556,18 +557,29 @@ def compress_tier(
     tier-sized; never point this at raw rows (SURVEY.md §4: no partial
     agg in grouped-map).  The chunk key includes chunk_start, so a hot
     source fans out across chunk windows instead of one giant group.
+
+    ``extra_keys`` (string columns of ``tier_df``, e.g. ``["tier"]``)
+    join the group key and pass through to the output — the pipeline
+    compresses ALL tiers' rows in ONE grouped-map stage over their
+    union instead of one applyInPandas (scan + exchange + Python
+    worker round-trip) per tier.
     """
     chunk_span = chunk_span or CHUNK_SPAN[tier]
     value_cols = value_cols or DEFAULT_VALUE_COLS
     df = tier_df.withColumn("chunk_start", window_start(F.col("window_start"), chunk_span))
     vcols = list(value_cols)
+    ekeys = list(extra_keys or [])
+    schema = T.StructType(
+        [T.StructField(k, T.StringType()) for k in ekeys] + list(CHUNK_SCHEMA.fields)
+    )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_start", kind="stable")
         ts = (pdf["window_start"].astype("int64") // 10**9).to_numpy()
         cols = [pdf[c].to_numpy(dtype="float64") for c in vcols]
         chunk = compress_chunk(ts, cols)
-        return pd.DataFrame(
+        out = {k: [pdf[k].iloc[0]] for k in ekeys}
+        out.update(
             {
                 "source": [pdf["source"].iloc[0]],
                 "metric": [pdf["metric"].iloc[0]],
@@ -579,11 +591,12 @@ def compress_tier(
                 "chunk": [chunk],
             }
         )
+        return pd.DataFrame(out)
 
     return (
-        df.select(*KEY, "chunk_start", "window_start", *vcols)
-        .groupBy(*KEY, "chunk_start")
-        .applyInPandas(build, CHUNK_SCHEMA)
+        df.select(*ekeys, *KEY, "chunk_start", "window_start", *vcols)
+        .groupBy(*ekeys, *KEY, "chunk_start")
+        .applyInPandas(build, schema)
     )
 
 

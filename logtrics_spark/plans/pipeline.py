@@ -243,21 +243,22 @@ class RollupJob:
             # collapses 2*T driver-blocking write jobs into 2 — each
             # partitioned write costs seconds of commit/listing overhead
             # regardless of size, and T*days*sources file commits were the
-            # measured bottleneck at bench scale.
+            # measured bottleneck at bench scale.  Compression likewise
+            # runs as ONE grouped-map stage over the unioned tier rows
+            # (tier joins the group key) instead of one
+            # scan+exchange+Python round-trip per tier.
             all_tiers = None
-            all_chunks = None
             for tier, tdf, _pset in tier_plans:
                 t = tdf.withColumn("tier", F.lit(tier))
-                c = (
-                    compress_tier(
-                        tdf.drop("day"), tier, chunk_span="1d",
-                        value_cols=self.chunk_value_cols,
-                    )
-                    .withColumn("day", _day("chunk_start"))
-                    .withColumn("tier", F.lit(tier))
-                )
                 all_tiers = t if all_tiers is None else all_tiers.unionByName(t)
-                all_chunks = c if all_chunks is None else all_chunks.unionByName(c)
+
+            all_chunks = (
+                compress_tier(
+                    all_tiers.drop("day"), tier_plans[0][0], chunk_span="1d",
+                    value_cols=self.chunk_value_cols, extra_keys=["tier"],
+                )
+                .withColumn("day", _day("chunk_start"))
+            )
 
             self.io.write_partitioned(all_tiers, "tiers", ["tier", "day"])
             all_chunks = all_chunks.persist()
