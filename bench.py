@@ -95,6 +95,8 @@ def main() -> None:
         "simhash_pairs",
         "embedding_dupes",
         "graphite_lines",
+        "dedup_groups",
+        "cascade_stddev_1h",
     ]:
         # best-of-2: the shared host shows episodic CPU-steal bursts
         # (BENCH/BASELINE.md caveat); noise only ever adds time, so the
