@@ -235,6 +235,69 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def q_moving_avg_1h(spark, sf_dir):
+    """Graphite movingAverage over the 1m tier: trailing 1h time-RANGE
+    mean — gaps shrink the sample instead of stretching the span."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import moving_average
+
+    r = rollup(_events_points(spark, sf_dir), "1m")
+    m = moving_average(r, "avg", window_seconds=3600, out_col="mavg")
+    return m.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("mavg", 4).alias("mavg"),
+    )
+
+
+def q_counter_rate_1m(spark, sf_dir):
+    """perSecond over a cumulative counter tier (the Prometheus rate()
+    staple): non-negative delta divided by the ACTUAL gap seconds, so
+    sparse minutes report the rate across the gap, not a spike."""
+    from logtrics_spark.operators.rollup import rollup, with_cumulative
+    from logtrics_spark.operators.series import per_second
+
+    c = with_cumulative(rollup(_events_points(spark, sf_dir), "1m"))
+    p = per_second(c, "cum_sum", out_col="rate")
+    return p.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("rate", 6).alias("rate"),
+    )
+
+
+def q_anomaly_zscore_1h(spark, sf_dir):
+    """Rolling z-score anomaly primitive: each 1m slot scored against
+    its series' trailing-1h mean/stddev; constant or single-sample
+    windows yield null instead of an FP-noise quotient."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import zscore
+
+    r = rollup(_events_points(spark, sf_dir), "1m")
+    z = zscore(r, "avg", window_seconds=3600, out_col="z")
+    return z.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("z", 3).alias("z"),
+    )
+
+
+def q_topk_sources_1h(spark, sf_dir):
+    """Graphite highest(series, k): keep the full 1h tier rows of the 3
+    sources with the largest total sum (registry-sized rank, broadcast
+    semi-join back)."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import topk_series
+
+    r = rollup(_events_points(spark, sf_dir), "1h")
+    t = topk_series(r, k=3, value_col="sum", by="sum")
+    return t.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("sum", 4).alias("sum_val"),
+    )
+
+
 def q_extract_regex(spark, sf_dir):
     """F1/F2: regex gate + first-match extraction over documents."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -755,6 +818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timer_pcts_1d": q_timer_pcts_1d,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
+        "moving_avg_1h": q_moving_avg_1h,
+        "counter_rate_1m": q_counter_rate_1m,
+        "anomaly_zscore_1h": q_anomaly_zscore_1h,
+        "topk_sources_1h": q_topk_sources_1h,
         "extract_regex": q_extract_regex,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -881,6 +948,71 @@ def oracle_sql() -> dict[str, str]:
                               THEN pv + (nv - pv) * (ws - pt) / (nt - pt)
                          END) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_val
             FROM f
+        """,
+        "moving_avg_1h": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/60)*60 AS BIGINT) AS ws,
+                     avg(value) AS a
+              FROM events GROUP BY 1, 2)
+            SELECT source, ws,
+                   floor((avg(a) OVER (PARTITION BY source ORDER BY ws
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+                     * 10000.0 + 0.5 + 1e-6) / 10000.0 AS mavg
+            FROM r
+        """,
+        "counter_rate_1m": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/60)*60 AS BIGINT) AS ws,
+                     sum(value) AS s
+              FROM events GROUP BY 1, 2),
+            c AS (
+              SELECT source, ws,
+                     sum(s) OVER (PARTITION BY source ORDER BY ws) AS cum
+              FROM r),
+            d AS (
+              SELECT source, ws,
+                     cum - lag(cum) OVER (PARTITION BY source ORDER BY ws) AS delta,
+                     ws - lag(ws) OVER (PARTITION BY source ORDER BY ws) AS dt
+              FROM c)
+            SELECT source, ws,
+                   floor((CASE WHEN delta >= 0 AND dt > 0 THEN delta / dt END)
+                     * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS rate
+            FROM d
+        """,
+        "anomaly_zscore_1h": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/60)*60 AS BIGINT) AS ws,
+                     avg(value) AS a
+              FROM events GROUP BY 1, 2),
+            s AS (
+              SELECT source, ws, a,
+                     avg(a) OVER (PARTITION BY source ORDER BY ws
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS mean,
+                     stddev_samp(a) OVER (PARTITION BY source ORDER BY ws
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS sd
+              FROM r)
+            SELECT source, ws,
+                   floor((CASE WHEN sd > 1e-9 THEN (a - mean) / sd END)
+                     * 1000.0 + 0.5 + 1e-6) / 1000.0 AS z
+            FROM s
+        """,
+        "topk_sources_1h": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                     sum(value) AS s
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT source, sum(s) AS total FROM r GROUP BY source),
+            w AS (SELECT source,
+                         row_number() OVER (ORDER BY total DESC, source) AS rk
+                  FROM t)
+            SELECT r.source, r.ws,
+                   floor(r.s * 10000.0 + 0.5 + 1e-6) / 10000.0 AS sum_val
+            FROM r JOIN w ON r.source = w.source
+            WHERE w.rk <= 3
         """,
         "extract_regex": r"""
             SELECT doc_id, regexp_extract(text, '(qu[a-z]+)', 1) AS first_qu

@@ -1,0 +1,236 @@
+"""Series transforms over tier tables — the Graphite function library.
+
+The reference emits its registry to Graphite (/root/reference/graphite/
+graphite.go:84-151); the *query* side of that system is Graphite's
+function library (movingAverage, derivative, nonNegativeDerivative,
+perSecond, integral, highest*) applied to the stored series.  These
+operators provide that read path over our tier tables, plus the rolling
+z-score anomaly flag every metrics deployment ends up writing by hand.
+
+All transforms are pure Catalyst window functions partitioned BY SERIES
+(the same ``KEY`` the rollup groups on), so:
+
+- no Python on the data path, whole-stage codegen end to end;
+- per-task state is bounded by one series' slot count — tier tables are
+  already 3-6 orders of magnitude smaller than raw, so even a year of
+  1m slots is ~525k rows per series;
+- one Exchange on the series key serves every transform in a chain
+  (Catalyst reuses the partitioning across consecutive windows with the
+  same partition spec).
+
+Time-based frames use ``rangeBetween`` over epoch seconds, NOT
+``rowsBetween`` — tier tables may be sparse (gap-fill is optional), and
+a row-count frame would silently widen its time span across gaps.
+
+``topk_series`` is the one transform with a global step: ranking the
+per-series totals.  That frame has one row per series — bounded by the
+metric-registry cardinality (reference: one go-metrics registry entry
+per rule metric), never by data volume — and the ranked winners are
+broadcast back to the tier rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from logtrics_spark.operators.rollup import KEY
+
+_WS = "_ws_epoch"
+
+
+def _with_epoch(tier_df: DataFrame) -> DataFrame:
+    return tier_df.withColumn(_WS, F.unix_timestamp("window_start").cast("long"))
+
+
+def _series_window(key: list[str]) -> Window:
+    return Window.partitionBy(*key).orderBy(F.col(_WS))
+
+
+def moving_average(
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``movingAverage(series, windowSize)``.
+
+    Trailing time-range mean: for each slot, the mean of ``value_col``
+    over slots whose window_start lies in the last ``window_seconds``
+    (inclusive of the current slot).  RANGE frame on epoch seconds, so
+    gaps shrink the sample rather than stretching the time span.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    key = key or KEY
+    out = out_col or f"mavg_{value_col}"
+    w = _series_window(key).rangeBetween(-(window_seconds - 1), 0)
+    return (
+        _with_epoch(tier_df)
+        .withColumn(out, F.avg(value_col).over(w))
+        .drop(_WS)
+    )
+
+
+def derivative(
+    tier_df: DataFrame,
+    value_col: str,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``derivative(series)``: delta vs the previous slot.
+
+    First slot of each series gets null (no predecessor), matching
+    Graphite's leading ``None``.
+    """
+    key = key or KEY
+    out = out_col or f"delta_{value_col}"
+    w = _series_window(key)
+    return (
+        _with_epoch(tier_df)
+        .withColumn(out, F.col(value_col) - F.lag(value_col).over(w))
+        .drop(_WS)
+    )
+
+
+def non_negative_derivative(
+    tier_df: DataFrame,
+    value_col: str,
+    key: list[str] | None = None,
+    max_value: float | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``nonNegativeDerivative(series, maxValue)``.
+
+    Counter-reset aware delta: a negative step is a counter reset, not a
+    real decrease.  Without ``max_value`` resets yield null; with it the
+    counter is assumed to have wrapped at ``max_value`` and the delta is
+    reconstructed as ``(max_value - prev) + value + 1`` (Graphite's
+    wrap formula).
+    """
+    key = key or KEY
+    out = out_col or f"nnd_{value_col}"
+    w = _series_window(key)
+    prev = F.lag(value_col).over(w)
+    delta = F.col(value_col) - prev
+    if max_value is not None:
+        wrapped = (F.lit(max_value) - prev) + F.col(value_col) + F.lit(1)
+        fixed = F.when(delta >= 0, delta).when(prev.isNotNull(), wrapped)
+    else:
+        fixed = F.when(delta >= 0, delta)
+    return _with_epoch(tier_df).withColumn(out, fixed).drop(_WS)
+
+
+def per_second(
+    tier_df: DataFrame,
+    value_col: str,
+    key: list[str] | None = None,
+    max_value: float | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``perSecond(series)``: non-negative delta / elapsed time.
+
+    Divides by the ACTUAL seconds since the previous slot, so sparse
+    series (missing windows) still report a correct rate across the gap
+    — this is the Prometheus ``rate()`` staple applied to a cumulative
+    counter tier.
+    """
+    key = key or KEY
+    out = out_col or f"rate_{value_col}"
+    w = _series_window(key)
+    nnd = non_negative_derivative(
+        tier_df, value_col, key=key, max_value=max_value, out_col="_nnd"
+    )
+    dt = (F.col(_WS) - F.lag(_WS).over(w)).cast("double")
+    return (
+        _with_epoch(nnd)
+        .withColumn(out, F.when(dt > 0, F.col("_nnd") / dt))
+        .drop(_WS, "_nnd")
+    )
+
+
+def integral(
+    tier_df: DataFrame,
+    value_col: str,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``integral(series)``: running sum from the series start.
+
+    Nulls contribute nothing (sum ignores them) but still emit the
+    prior cumulative value, matching Graphite's carry behavior.
+    """
+    key = key or KEY
+    out = out_col or f"cum_{value_col}"
+    w = _series_window(key).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        _with_epoch(tier_df)
+        .withColumn(out, F.sum(value_col).over(w))
+        .drop(_WS)
+    )
+
+
+def zscore(
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None = None,
+    min_stddev: float = 1e-9,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rolling z-score: (x - trailing mean) / trailing sample stddev.
+
+    The anomaly-detection primitive: |z| > threshold flags spikes
+    against each series' own recent behavior.  Windows with fewer than
+    two samples, or effectively-constant windows (stddev below
+    ``min_stddev``, where the quotient is FP noise), yield null rather
+    than a meaningless huge score.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    key = key or KEY
+    out = out_col or f"z_{value_col}"
+    w = _series_window(key).rangeBetween(-(window_seconds - 1), 0)
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    return (
+        _with_epoch(tier_df)
+        .withColumn(
+            out,
+            F.when(sd > min_stddev, (F.col(value_col) - mean) / sd),
+        )
+        .drop(_WS)
+    )
+
+
+def topk_series(
+    tier_df: DataFrame,
+    k: int,
+    value_col: str = "sum",
+    by: str = "sum",
+    key: list[str] | None = None,
+) -> DataFrame:
+    """Graphite ``highestAverage/highestMax/highest(series, k)``.
+
+    Keeps every tier row belonging to the k series with the highest
+    aggregate of ``value_col`` (``by`` in sum/avg/max/min).  Ties break
+    on the key columns so the result is deterministic.
+
+    Scale: the ranking frame has ONE row per series (registry-sized);
+    the winners semi-join back by broadcast, so tier rows never shuffle.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    aggs = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min}
+    if by not in aggs:
+        raise ValueError(f"by must be one of {sorted(aggs)}, got {by!r}")
+    key = key or KEY
+    totals = tier_df.groupBy(*key).agg(aggs[by](value_col).alias("_total"))
+    w = Window.orderBy(F.col("_total").desc(), *[F.col(c) for c in key])
+    winners = (
+        totals.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*key)
+    )
+    return tier_df.join(F.broadcast(winners), on=key, how="left_semi")

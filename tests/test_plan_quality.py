@@ -127,3 +127,30 @@ def test_verification_jaccard_is_codegen(spark, raw):
     plan = _plan(ngram_jaccard_pairs(docs, pairs, n=3))
     assert "array_intersect" not in plan.lower()
     assert "array_union" not in plan.lower()
+
+
+def test_topk_series_broadcasts_winners(spark, raw):
+    """topk_series: the registry-sized winner set must come back as a
+    broadcast left-semi join — tier rows never shuffle for the filter."""
+    from logtrics_spark.operators.series import topk_series
+
+    tier = rollup(extract_points(raw), "1h")
+    plan = _plan(topk_series(tier, k=3, value_col="sum", by="sum"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_chained_series_windows_share_one_exchange(spark, raw):
+    """moving_average then zscore on the same series key: ONE window
+    partitioning exchange on top of the rollup's agg exchange — the
+    second transform must reuse the first's partitioning."""
+    import re
+
+    from logtrics_spark.operators.series import moving_average, zscore
+
+    tier = rollup(extract_points(raw), "1m")
+    chain = zscore(
+        moving_average(tier, "avg", 3600, out_col="m"), "avg", 3600, out_col="z"
+    )
+    plan = _plan(chain)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan

@@ -1,0 +1,146 @@
+"""Series transforms (operators/series.py) — the Graphite read path.
+
+Hand-computed expectations on tiny tier tables, including the cases
+that distinguish a correct time-based implementation from a row-based
+one: gaps (RANGE vs ROWS frames), counter resets, wrap reconstruction,
+constant windows, and empty input schema stability.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from logtrics_spark.operators.series import (
+    derivative,
+    integral,
+    moving_average,
+    non_negative_derivative,
+    per_second,
+    topk_series,
+    zscore,
+)
+
+KEY = ["source", "metric", "kind"]
+
+
+def _ts(minute: int):
+    return datetime(2024, 1, 1, 0, minute, tzinfo=timezone.utc)
+
+
+def _tier(spark, rows):
+    """rows: (minute, value) or (source, minute, value) -> a 1m tier table."""
+    data = []
+    for r in rows:
+        src, minute, val = ("s", *r) if len(r) == 2 else r
+        data.append((src, "m", "gauge", _ts(minute).replace(tzinfo=None), float(val)))
+    return spark.createDataFrame(
+        data, "source string, metric string, kind string, "
+              "window_start timestamp, val double")
+
+
+def _vals(df, col, source="s"):
+    rows = df.filter(F.col("source") == source).orderBy("window_start").collect()
+    return [r[col] for r in rows]
+
+
+def test_moving_average_uses_time_range_not_row_count(spark):
+    # slots at minutes 0,1,2 then a gap to minute 10; 3-minute window.
+    df = _tier(spark, [(0, 1), (1, 2), (2, 3), (10, 10)])
+    out = moving_average(df, "val", window_seconds=180)
+    # minute 2: mean(1,2,3)=2.0; minute 10: the gap means ONLY slot 10
+    # is in [8:01..10:00] — a rows-based frame would wrongly include 1,2.
+    assert _vals(out, "mavg_val") == [1.0, 1.5, 2.0, 10.0]
+
+
+def test_derivative_and_first_slot_null(spark):
+    df = _tier(spark, [(0, 5), (1, 8), (2, 6)])
+    out = derivative(df, "val")
+    assert _vals(out, "delta_val") == [None, 3.0, -2.0]
+
+
+def test_non_negative_derivative_nulls_resets(spark):
+    # counter: 10, 15, 3 (reset), 7
+    df = _tier(spark, [(0, 10), (1, 15), (2, 3), (3, 7)])
+    out = non_negative_derivative(df, "val")
+    assert _vals(out, "nnd_val") == [None, 5.0, None, 4.0]
+
+
+def test_non_negative_derivative_wrap_formula(spark):
+    # 8-bit counter wrapping at 255: 250 -> 4 is a delta of 10.
+    df = _tier(spark, [(0, 250), (1, 4)])
+    out = non_negative_derivative(df, "val", max_value=255)
+    assert _vals(out, "nnd_val") == [None, 10.0]
+
+
+def test_per_second_divides_by_actual_gap(spark):
+    # cumulative counter with a 5-minute gap: delta 600 over 300s = 2/s.
+    df = _tier(spark, [(0, 0), (1, 60), (6, 660)])
+    out = per_second(df, "val")
+    assert _vals(out, "rate_val") == [None, 1.0, 2.0]
+
+
+def test_integral_running_sum_skips_nulls(spark):
+    df = _tier(spark, [(0, 1), (1, 2), (3, 4)])
+    df = df.withColumn("val", F.when(F.minute("window_start") != 1, F.col("val")))
+    out = integral(df, "val")
+    assert _vals(out, "cum_val") == [1.0, 1.0, 5.0]
+
+
+def test_zscore_flags_spike_and_nulls_constant(spark):
+    # constant series -> stddev 0 -> null z everywhere.
+    const = _tier(spark, [(m, 5) for m in range(5)])
+    assert _vals(zscore(const, "val", 300), "z_val") == [None] * 5
+    # a spike against a varying baseline gets a positive z.
+    df = _tier(spark, [(0, 1), (1, 2), (2, 1), (3, 2), (4, 50)])
+    z = _vals(zscore(df, "val", 300), "z_val")
+    assert z[-1] == pytest.approx(1.7884, abs=1e-3)
+    assert all(abs(v) < 1.5 for v in z[1:-1])
+
+
+def test_zscore_single_sample_window_is_null(spark):
+    # 1-slot window: stddev_samp needs n>=2 -> null, not a crash.
+    df = _tier(spark, [(0, 1), (10, 2)])
+    out = zscore(df, "val", window_seconds=60)
+    assert _vals(out, "z_val") == [None, None]
+
+
+def test_topk_series_keeps_k_series_rows(spark):
+    rows = [("a", 0, 10), ("a", 1, 10), ("b", 0, 5), ("c", 0, 1), ("c", 1, 1)]
+    df = _tier(spark, rows)
+    out = topk_series(df, k=2, value_col="val", by="sum")
+    kept = {r["source"] for r in out.collect()}
+    assert kept == {"a", "b"}
+    assert out.count() == 3  # all of a's and b's rows survive
+
+
+def test_topk_series_tie_breaks_deterministically(spark):
+    df = _tier(spark, [("a", 0, 5), ("b", 0, 5), ("c", 0, 5)])
+    out = topk_series(df, k=2, value_col="val", by="sum")
+    assert {r["source"] for r in out.collect()} == {"a", "b"}
+
+
+def test_validation_errors(spark):
+    df = _tier(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        moving_average(df, "val", 0)
+    with pytest.raises(ValueError):
+        zscore(df, "val", -1)
+    with pytest.raises(ValueError):
+        topk_series(df, 0, value_col="val")
+    with pytest.raises(ValueError):
+        topk_series(df, 1, value_col="val", by="median")
+
+
+def test_empty_input_schema_stable(spark):
+    df = _tier(spark, [(0, 1)]).limit(0)
+    for out, col in [
+        (moving_average(df, "val", 60), "mavg_val"),
+        (per_second(df, "val"), "rate_val"),
+        (zscore(df, "val", 60), "z_val"),
+        (topk_series(df, 1, value_col="val"), "val"),
+    ]:
+        assert col in out.columns
+        assert out.count() == 0
