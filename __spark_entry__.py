@@ -298,6 +298,27 @@ def q_topk_sources_1h(spark, sf_dir):
     )
 
 
+def q_distinct_users_1h(spark, sf_dir):
+    """statsd 'set' instrument: exact unique user_id per source-hour via
+    distinct-then-count (no per-group id set in one buffer); the
+    exact=False HLL++ variant is the fixed-sketch 100 TB path."""
+    from logtrics_spark.operators.rollup import set_cardinality
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("source"),
+        F.lit("ev.users").alias("metric"),
+        F.lit("set").alias("kind"),
+        F.col("ts"),
+        F.col("user_id"),
+    )
+    s = set_cardinality(ev, "1h", id_col="user_id")
+    return s.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt_distinct",
+    )
+
+
 def q_extract_regex(spark, sf_dir):
     """F1/F2: regex gate + first-match extraction over documents."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -822,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_1m": q_counter_rate_1m,
         "anomaly_zscore_1h": q_anomaly_zscore_1h,
         "topk_sources_1h": q_topk_sources_1h,
+        "distinct_users_1h": q_distinct_users_1h,
         "extract_regex": q_extract_regex,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1013,6 +1035,12 @@ def oracle_sql() -> dict[str, str]:
                    floor(r.s * 10000.0 + 0.5 + 1e-6) / 10000.0 AS sum_val
             FROM r JOIN w ON r.source = w.source
             WHERE w.rk <= 3
+        """,
+        "distinct_users_1h": """
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS cnt_distinct
+            FROM events GROUP BY 1, 2
         """,
         "extract_regex": r"""
             SELECT doc_id, regexp_extract(text, '(qu[a-z]+)', 1) AS first_qu

@@ -204,3 +204,41 @@ def with_cumulative(tier_df: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return tier_df.withColumn("cum_sum", F.sum("sum").over(w))
+
+
+def set_cardinality(
+    points: DataFrame,
+    tier: str,
+    id_col: str,
+    key: list[str] | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """statsd ``set`` instrument: unique ids per series-window.
+
+    The one instrument family the go-metrics registry lacks but every
+    Graphite deployment pairs with it (statsd sets — unique users,
+    unique IPs per flush interval).  Two paths:
+
+    - ``exact=True``: distinct on (series, window, id) THEN count.  The
+      distinct is a partial-aggregating shuffle keyed by the full tuple
+      — no per-group id set ever materializes in one buffer, so a
+      window with 100M uniques still splits across tasks.  This is the
+      oracle-parity path.
+    - ``exact=False``: ``approx_count_distinct`` (HyperLogLog++), ONE
+      shuffle carrying a fixed-size sketch per series-window regardless
+      of cardinality — the 100 TB path; ``rsd`` trades sketch bytes for
+      relative error.
+    """
+    key = key or KEY
+    ws = window_start(F.col("ts"), tier).alias("window_start")
+    if exact:
+        d = points.select(*key, ws, F.col(id_col).alias("_id")).distinct()
+        return d.groupBy(*key, "window_start").agg(
+            F.count("_id").alias("cnt_distinct")
+        )
+    return (
+        points.select(*key, ws, F.col(id_col).alias("_id"))
+        .groupBy(*key, "window_start")
+        .agg(F.approx_count_distinct("_id", rsd).alias("cnt_distinct"))
+    )

@@ -177,3 +177,50 @@ def test_token_passthrough_invariant(spark, tok_df, tok_pdf):
     assert len(back) == len(exp)
     for did in exp.index:
         assert np.array_equal(np.asarray(back[did]), np.asarray(exp[did])), did
+
+
+def test_set_cardinality_exact_and_approx(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from logtrics_spark.operators.rollup import set_cardinality
+
+    # 3 users in hour 0 (one repeated), 1 user in hour 1.
+    rows = [
+        ("s", "m", "set", datetime(2024, 1, 1, 0, 5), 101.0),
+        ("s", "m", "set", datetime(2024, 1, 1, 0, 10), 102.0),
+        ("s", "m", "set", datetime(2024, 1, 1, 0, 20), 101.0),
+        ("s", "m", "set", datetime(2024, 1, 1, 0, 40), 103.0),
+        ("s", "m", "set", datetime(2024, 1, 1, 1, 5), 101.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "source string, metric string, kind string, ts timestamp, value double"
+    )
+    got = {
+        r["window_start"].hour: r["cnt_distinct"]
+        for r in set_cardinality(pts, "1h", id_col="value").collect()
+    }
+    assert got == {0: 3, 1: 1}
+    # HLL path: exact at tiny cardinality, same schema.
+    approx = set_cardinality(pts, "1h", id_col="value", exact=False)
+    assert {r["window_start"].hour: r["cnt_distinct"] for r in approx.collect()} == got
+
+
+def test_set_cardinality_exact_plan_has_no_single_buffer_agg(spark):
+    """The exact path must be distinct-then-count (two partial-agg
+    shuffles on the widened key), never a per-group collect_set."""
+    from datetime import datetime
+
+    from logtrics_spark.operators.rollup import set_cardinality
+
+    pts = spark.createDataFrame(
+        [("s", "m", "set", datetime(2024, 1, 1), 1.0)],
+        "source string, metric string, kind string, ts timestamp, value double",
+    )
+    plan = (
+        set_cardinality(pts, "1h", id_col="value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_set" not in plan
+    assert "partial_count" in plan or "partial" in plan, plan
