@@ -107,16 +107,21 @@ def non_negative_derivative(
     real decrease.  Without ``max_value`` resets yield null; with it the
     counter is assumed to have wrapped at ``max_value`` and the delta is
     reconstructed as ``(max_value - prev) + value + 1`` (Graphite's
-    wrap formula).
+    wrap formula).  The wrap only applies when BOTH samples lie within
+    [0, max_value] — a sample beyond the stated wrap point is bad data,
+    and reconstructing from it would fabricate a negative or bogus
+    rate, so those steps yield null like any other reset.
     """
     key = key or KEY
     out = out_col or f"nnd_{value_col}"
     w = _series_window(key)
     prev = F.lag(value_col).over(w)
-    delta = F.col(value_col) - prev
+    cur = F.col(value_col)
+    delta = cur - prev
     if max_value is not None:
-        wrapped = (F.lit(max_value) - prev) + F.col(value_col) + F.lit(1)
-        fixed = F.when(delta >= 0, delta).when(prev.isNotNull(), wrapped)
+        wrapped = (F.lit(max_value) - prev) + cur + F.lit(1)
+        in_range = (cur <= max_value) & (prev <= max_value) & (cur >= 0) & (prev >= 0)
+        fixed = F.when(delta >= 0, delta).when(prev.isNotNull() & in_range, wrapped)
     else:
         fixed = F.when(delta >= 0, delta)
     return _with_epoch(tier_df).withColumn(out, fixed).drop(_WS)

@@ -144,3 +144,11 @@ def test_empty_input_schema_stable(spark):
     ]:
         assert col in out.columns
         assert out.count() == 0
+
+
+def test_non_negative_derivative_wrap_rejects_out_of_range(spark):
+    # a sample above the stated wrap point is bad data, not a wrap:
+    # 300 -> 4 with max_value=255 must yield null, not a fabricated delta.
+    df = _tier(spark, [(0, 300), (1, 4), (2, 10)])
+    out = non_negative_derivative(df, "val", max_value=255)
+    assert _vals(out, "nnd_val") == [None, None, 6.0]
