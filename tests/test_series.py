@@ -152,3 +152,52 @@ def test_non_negative_derivative_wrap_rejects_out_of_range(spark):
     df = _tier(spark, [(0, 300), (1, 4), (2, 10)])
     out = non_negative_derivative(df, "val", max_value=255)
     assert _vals(out, "nnd_val") == [None, None, 6.0]
+
+
+def test_series_transforms_match_brute_force(spark):
+    """Property: moving_average / per_second / integral vs a plain-
+    Python reference on random sparse series (random gaps included)."""
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    W = 180  # 3-minute trailing window
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-100, max_value=100),
+        min_size=1, max_size=12,
+    ))
+    def check(series):
+        slots = sorted((m * 60, float(v)) for m, v in series.items())
+        df = _tier(spark, [(ws // 60, v) for ws, v in slots])
+        chained = integral(per_second(
+            moving_average(df, "val", W, out_col="mavg"),
+            "val", out_col="rate"), "val", out_col="cum")
+
+        exp_mavg, exp_rate, exp_cum = [], [], []
+        run = 0.0
+        for i, (ws, v) in enumerate(slots):
+            in_w = [u for wu, u in slots if ws - W + 1 <= wu <= ws]
+            exp_mavg.append(sum(in_w) / len(in_w))
+            if i == 0:
+                exp_rate.append(None)
+            else:
+                pw, pv = slots[i - 1]
+                d = v - pv
+                exp_rate.append(d / (ws - pw) if d >= 0 else None)
+            run += v
+            exp_cum.append(run)
+
+        rows = chained.orderBy("window_start").collect()
+        got = [(r["mavg"], r["rate"], r["cum"]) for r in rows]
+        for (gm, gr, gc), em, er, ec in zip(got, exp_mavg, exp_rate, exp_cum):
+            assert gm == pytest.approx(em, abs=1e-9)
+            if er is None:
+                assert gr is None
+            else:
+                assert gr == pytest.approx(er, abs=1e-9)
+            assert gc == pytest.approx(ec, abs=1e-9)
+
+    check()
