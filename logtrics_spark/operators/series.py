@@ -232,10 +232,9 @@ def topk_series(
         raise ValueError(f"by must be one of {sorted(aggs)}, got {by!r}")
     key = key or KEY
     totals = tier_df.groupBy(*key).agg(aggs[by](value_col).alias("_total"))
-    w = Window.orderBy(F.col("_total").desc(), *[F.col(c) for c in key])
     winners = (
-        totals.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
+        totals.orderBy(F.col("_total").desc(), *[F.col(c) for c in key])
+        .limit(k)
         .select(*key)
     )
     return tier_df.join(F.broadcast(winners), on=key, how="left_semi")
