@@ -242,3 +242,52 @@ def set_cardinality(
         .groupBy(*key, "window_start")
         .agg(F.approx_count_distinct("_id", rsd).alias("cnt_distinct"))
     )
+
+
+def set_sketch_rollup(
+    points: DataFrame,
+    tier: str,
+    id_col: str,
+    key: list[str] | None = None,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Set-instrument tier rows carrying a MERGEABLE HLL sketch.
+
+    ``set_cardinality`` answers one tier directly; this is the cascade
+    path: each fine window stores a DataSketches HLL state (binary,
+    ~2^lg_config_k bytes max) instead of a scalar count, so coarser
+    tiers REAGGREGATE via sketch union (``set_sketch_cascade``) without
+    ever touching raw ids again — the distinct-count analogue of the
+    moment-composable stddev.  Scalar distinct counts do not compose
+    (|A ∪ B| != |A| + |B|); sketches do.
+
+    Uses Spark's native hll_sketch_agg (JVM DataSketches, map-side
+    partial like any agg).  Estimate with ``set_sketch_estimate``.
+    """
+    key = key or KEY
+    return (
+        points.withColumn("window_start", window_start(F.col("ts"), tier))
+        .groupBy(*key, "window_start")
+        .agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_config_k)).alias("hll"))
+    )
+
+
+def set_sketch_cascade(fine: DataFrame, fine_tier: str, coarse_tier: str) -> DataFrame:
+    """Reaggregate HLL set tiers: union the fine windows' sketches into
+    the coarse window.  Same shuffle shape as ``cascade`` — one
+    partial-agg groupBy over already-tiny tier rows."""
+    if tier_seconds(coarse_tier) % tier_seconds(fine_tier) != 0:
+        raise ValueError(f"{coarse_tier} is not a multiple of {fine_tier}")
+    key = [c for c in fine.columns if c not in ("window_start", "hll")]
+    return (
+        fine.withColumn("cws", window_start(F.col("window_start"), coarse_tier))
+        .groupBy(*key, "cws")
+        .agg(F.hll_union_agg("hll").alias("hll"))
+        .withColumnRenamed("cws", "window_start")
+    )
+
+
+def set_sketch_estimate(tier_df: DataFrame, out_col: str = "cnt_distinct") -> DataFrame:
+    """Scalar estimate column from the sketch (keeps ``hll`` for further
+    merging; drop it in the final projection if unneeded)."""
+    return tier_df.withColumn(out_col, F.hll_sketch_estimate("hll"))

@@ -224,3 +224,46 @@ def test_set_cardinality_exact_plan_has_no_single_buffer_agg(spark):
     )
     assert "collect_set" not in plan
     assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_set_sketch_cascade_matches_direct_coarse_sketch(spark):
+    """HLL set tiers must REAGGREGATE: union of per-1m sketches at 1h ==
+    building the 1h sketch from raw ids directly, and both within the
+    sketch's error envelope of the exact count."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from logtrics_spark.operators.rollup import (
+        set_sketch_cascade,
+        set_sketch_estimate,
+        set_sketch_rollup,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("s", "m", "set", base + timedelta(seconds=17 * i % 7200), (i * 13) % 900)
+        for i in range(4000)
+    ]
+    pts = spark.createDataFrame(
+        rows, "source string, metric string, kind string, ts timestamp, value long"
+    )
+    fine = set_sketch_rollup(pts, "1m", id_col="value")
+    cascaded = set_sketch_estimate(set_sketch_cascade(fine, "1m", "1h"))
+    direct = set_sketch_estimate(set_sketch_rollup(pts, "1h", id_col="value"))
+
+    got = {r["window_start"]: r["cnt_distinct"] for r in cascaded.collect()}
+    exp = {r["window_start"]: r["cnt_distinct"] for r in direct.collect()}
+    # union drops the HIP estimator history, so cascaded != direct
+    # bit-for-bit; both must sit inside the sketch's error envelope.
+    assert got.keys() == exp.keys()
+
+    exact = {
+        r["window_start"]: r["cnt"]
+        for r in pts.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start")
+        ).agg(F.countDistinct("value").alias("cnt")).collect()
+    }
+    for ws in exact:
+        assert abs(got[ws] - exact[ws]) <= 0.05 * exact[ws], (ws, got[ws], exact[ws])
+        assert abs(exp[ws] - exact[ws]) <= 0.05 * exact[ws], (ws, exp[ws], exact[ws])
