@@ -118,12 +118,15 @@ def non_negative_derivative(
     prev = F.lag(value_col).over(w)
     cur = F.col(value_col)
     delta = cur - prev
+    # Spark orders NaN above every number, so `NaN >= 0` is TRUE — an
+    # unguarded NaN sample would sail through the non-negative branch.
+    ok = (delta >= 0) & ~F.isnan(delta.cast("double"))
     if max_value is not None:
         wrapped = (F.lit(max_value) - prev) + cur + F.lit(1)
         in_range = (cur <= max_value) & (prev <= max_value) & (cur >= 0) & (prev >= 0)
-        fixed = F.when(delta >= 0, delta).when(prev.isNotNull() & in_range, wrapped)
+        fixed = F.when(ok, delta).when(prev.isNotNull() & in_range, wrapped)
     else:
-        fixed = F.when(delta >= 0, delta)
+        fixed = F.when(ok, delta)
     return _with_epoch(tier_df).withColumn(out, fixed).drop(_WS)
 
 
@@ -199,11 +202,14 @@ def zscore(
     w = _series_window(key).rangeBetween(-(window_seconds - 1), 0)
     mean = F.avg(value_col).over(w)
     sd = F.stddev_samp(value_col).over(w)
+    # `NaN > min_stddev` is TRUE under Spark's NaN-is-largest ordering,
+    # so a NaN sample in the window must be rejected explicitly.
+    ok = (sd > min_stddev) & ~F.isnan(sd)
     return (
         _with_epoch(tier_df)
         .withColumn(
             out,
-            F.when(sd > min_stddev, (F.col(value_col) - mean) / sd),
+            F.when(ok, (F.col(value_col) - mean) / sd),
         )
         .drop(_WS)
     )
@@ -219,8 +225,11 @@ def topk_series(
     """Graphite ``highestAverage/highestMax/highest(series, k)``.
 
     Keeps every tier row belonging to the k series with the highest
-    aggregate of ``value_col`` (``by`` in sum/avg/max/min).  Ties break
-    on the key columns so the result is deterministic.
+    aggregate of ``value_col`` (``by`` in sum/avg/max/min; must be a
+    numeric column).  Ties break on the key columns so the result is
+    deterministic.  Series whose aggregate is NaN or null are excluded
+    from the ranking — Spark sorts NaN above every number, so one NaN
+    sample would otherwise crown its series the global winner.
 
     Scale: the ranking frame has ONE row per series (registry-sized);
     the winners semi-join back by broadcast, so tier rows never shuffle.
@@ -233,7 +242,10 @@ def topk_series(
     key = key or KEY
     totals = tier_df.groupBy(*key).agg(aggs[by](value_col).alias("_total"))
     winners = (
-        totals.orderBy(F.col("_total").desc(), *[F.col(c) for c in key])
+        totals.where(
+            F.col("_total").isNotNull() & ~F.isnan(F.col("_total").cast("double"))
+        )
+        .orderBy(F.col("_total").desc(), *[F.col(c) for c in key])
         .limit(k)
         .select(*key)
     )

@@ -201,3 +201,22 @@ def test_series_transforms_match_brute_force(spark):
             assert gc == pytest.approx(ec, abs=1e-9)
 
     check()
+
+
+def test_nan_samples_do_not_poison_nnd_zscore_topk(spark):
+    """Spark orders NaN above every number (NaN >= 0 is true, NaN sorts
+    first under desc) — NaN samples must yield null deltas/z-scores and
+    must not crown their series the top-k winner."""
+    nan = float("nan")
+    df = _tier(spark, [(0, 1), (1, nan), (2, 5)])
+    import math
+
+    nnd = _vals(non_negative_derivative(df, "val"), "nnd_val")
+    assert nnd[0] is None and nnd[1] is None and nnd[2] is None  # NaN prev too
+
+    z = _vals(zscore(df, "val", 300), "z_val")
+    assert all(v is None or not math.isnan(v) for v in z)
+
+    big = _tier(spark, [("a", 0, 100), ("a", 1, 100), ("b", 0, 1), ("b", 1, nan)])
+    out = topk_series(big, k=1, value_col="val", by="sum")
+    assert {r["source"] for r in out.collect()} == {"a"}
