@@ -52,7 +52,13 @@ def cosine_topk(
     )
     joined = c.crossJoin(F.broadcast(q)).where(F.col("id") != F.col("query_id"))
     cos = (_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("cosine")
-    scored = joined.select("query_id", "id", cos)
+    # NaN cosines (a NaN-poisoned vector) would sort FIRST under desc()
+    # (Spark orders NaN above every number) and pollute every query's
+    # top-k; zero-norm vectors yield null (Spark double x/0 is null) and
+    # already sort last — drop both before ranking.
+    scored = joined.select("query_id", "id", cos).where(
+        F.col("cosine").isNotNull() & ~F.isnan("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -189,7 +195,13 @@ def query_ivf_index(
     lists = spark.read.parquet(f"{path}/lists").where(F.col("cid").isin(probed))
     joined = lists.join(F.broadcast(q), "cid").where(F.col("id") != F.col("query_id"))
     cos = (_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("cosine")
-    scored = joined.select("query_id", "id", cos)
+    # NaN cosines (a NaN-poisoned vector) would sort FIRST under desc()
+    # (Spark orders NaN above every number) and pollute every query's
+    # top-k; zero-norm vectors yield null (Spark double x/0 is null) and
+    # already sort last — drop both before ranking.
+    scored = joined.select("query_id", "id", cos).where(
+        F.col("cosine").isNotNull() & ~F.isnan("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -255,6 +267,12 @@ def ivf_topk(
     )
     joined = c.join(F.broadcast(q), "cid").where(F.col("id") != F.col("query_id"))
     cos = (_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("cosine")
-    scored = joined.select("query_id", "id", cos)
+    # NaN cosines (a NaN-poisoned vector) would sort FIRST under desc()
+    # (Spark orders NaN above every number) and pollute every query's
+    # top-k; zero-norm vectors yield null (Spark double x/0 is null) and
+    # already sort last — drop both before ranking.
+    scored = joined.select("query_id", "id", cos).where(
+        F.col("cosine").isNotNull() & ~F.isnan("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -412,3 +412,31 @@ def test_ivf_persistent_index_prunes_partitions(spark, embs, tmp_path):
         full.sort_values(key)["id"].to_numpy()
         == exact.sort_values(key)["id"].to_numpy()
     ).all()
+
+
+def test_cosine_topk_ignores_nan_and_zero_vectors(spark):
+    """A NaN-poisoned vector must not rank first in every query's top-k
+    (Spark sorts NaN above all numbers under desc); a zero-norm vector
+    yields null cosine and is dropped, not ranked."""
+    import math
+
+    import pandas as pd
+
+    from logtrics_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": [
+            [1.0, 0.0],
+            [0.9, 0.1],
+            [float("nan"), 1.0],
+            [0.0, 0.0],
+        ],
+    }))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1], "embedding": [[1.0, 0.0]],
+    }))
+    got = cosine_topk(corpus, queries, k=2).orderBy("rank").collect()
+    assert [r["id"] for r in got] == [2, 4] or [r["id"] for r in got] == [2]
+    # id=3 (NaN) must never appear, and no returned cosine is NaN
+    assert all(r["id"] != 3 and not math.isnan(r["cosine"]) for r in got)
