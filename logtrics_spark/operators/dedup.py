@@ -611,6 +611,9 @@ def embedding_cosine_dupes(
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # NaN >= threshold is TRUE under Spark's NaN-is-largest ordering, so
+    # a NaN-poisoned vector would report every candidate pair it touches
+    # as a near-dup; zero-norm vectors give null (dropped by `where`).
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
-        F.col("cosine") >= threshold
+        (F.col("cosine") >= threshold) & ~F.isnan("cosine")
     )
