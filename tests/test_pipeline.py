@@ -333,3 +333,31 @@ def test_sealed_units_latest_wins_on_seal_seq(spark, tmp_path):
     assert io2.sealed_units().count() == 0  # newest append wins again
     seqs2 = [r["seal_seq"] for r in io2.read_lineage().collect()]
     assert max(seqs2) > max(seqs)  # stamped above the stored max, not at 1e6
+
+
+def test_series_transforms_over_chunk_read_path(spark, tok, tmp_path):
+    """The Graphite read path (operators/series.py) must work over BOTH
+    tier sources — live parquet rows and decompressed Gorilla chunks —
+    and agree between them (post-retention queries keep working)."""
+    from logtrics_spark.operators.series import moving_average, topk_series, zscore
+
+    job = _run_clean(spark, tok, str(tmp_path / "store"))
+    live = job.read_tier("5m")
+    chunks = job.read_tier_from_chunks("5m")
+
+    def view(tier_df):
+        m = moving_average(tier_df, "avg", window_seconds=3600, out_col="mavg")
+        z = zscore(m, "avg", window_seconds=3600, out_col="z")
+        t = topk_series(z, k=3, value_col="sum", by="sum")
+        return (
+            t.select("source", "metric", "window_start", "mavg", "z")
+            .toPandas()
+            .sort_values(["source", "metric", "window_start"])
+            .reset_index(drop=True)
+        )
+
+    a, b = view(live), view(chunks)
+    assert len(a) == len(b) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
