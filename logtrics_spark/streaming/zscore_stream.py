@@ -1,0 +1,137 @@
+"""Streaming rolling z-score — live anomaly flags over the tier stream.
+
+The batch ``operators/series.py::zscore`` scores each slot against its
+series' trailing time-range statistics; this is the incremental analog
+for a long-running deployment: ``applyInPandasWithState`` keeps the
+in-window (epoch, value) slots per series in the state store, prunes
+them as the window slides, and scores every incoming closed tier window
+on arrival — the alert path a log-monitoring daemon (the reference's
+domain) runs against its own metrics.
+
+Composition mirrors ``ewma_stream``: one stateful operator per query,
+fed from the continuously-maintained tier table:
+
+    point stream -> rollup_stream/write_tier_stream -> tier store
+    tier store (readStream) -> zscore_stream -> scored rows
+
+Ordering contract (same as ewma_stream): windows arrive in
+non-decreasing window_start order per series (true for the append-mode
+tier sink).  Within a micro-batch rows are sorted; across batches the
+state store carries the trailing window forward.
+
+Semantics are pinned to the batch operator by test: same trailing
+RANGE frame [ws - window + 1, ws] inclusive of the current slot, same
+sample stddev (ddof=1), same null result for <2 samples, effectively-
+constant windows (sd <= min_stddev), or NaN-poisoned windows.
+
+State size: one (long, double) pair per in-window slot per series —
+bounded by window_seconds / tier_seconds (e.g. 60 slots for a 1h
+window over a 1m tier), never by stream length.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from logtrics_spark.operators.rollup import KEY
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ws", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _out_schema(value_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("metric", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+
+
+def zscore_stream(
+    tier_rows: DataFrame,
+    value_col: str = "avg",
+    window_seconds: int = 3600,
+    min_stddev: float = 1e-9,
+) -> DataFrame:
+    """Streaming tier rows -> per-window rolling z-scores with carried
+    state.  ``tier_rows`` is a STREAMING DataFrame of tier-table rows
+    (at least KEY + window_start + ``value_col``); returns an
+    append-mode stream matching the batch ``zscore`` row for row.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    out_schema = _out_schema(value_col)
+
+    def fold(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values("window_start", kind="stable")
+        if state.exists:
+            ws_list, vals = state.get
+            ws_list, vals = list(ws_list), list(vals)
+        else:
+            ws_list, vals = [], []
+        epochs = (
+            pdf["window_start"].astype("datetime64[s]").astype("int64").to_numpy()
+        )
+        series_vals = pdf[value_col].astype("float64").to_numpy()
+        zs: list[float | None] = []
+        for ws, v in zip(epochs, series_vals):
+            ws_list.append(int(ws))
+            vals.append(float(v))
+            lo = ws - window_seconds + 1
+            while ws_list and ws_list[0] < lo:
+                ws_list.pop(0)
+                vals.pop(0)
+            n = len(vals)
+            if n < 2:
+                zs.append(None)
+                continue
+            mean = sum(vals) / n
+            var = sum((x - mean) ** 2 for x in vals) / (n - 1)
+            sd = math.sqrt(var)
+            if math.isnan(sd) or sd <= min_stddev:
+                zs.append(None)
+            else:
+                zs.append((v - mean) / sd)
+        out = pd.DataFrame(
+            {
+                "source": key[0],
+                "metric": key[1],
+                "kind": key[2],
+                "window_start": pdf["window_start"].values,
+                value_col: series_vals,
+                # nullable Float64 so None stays a true null through
+                # Arrow (a float64 ndarray would turn None into NaN,
+                # which Spark treats as a value, not null)
+                "z": pd.array(zs, dtype="Float64"),
+            }
+        )
+        state.update((ws_list, vals))
+        yield out
+
+    return (
+        tier_rows.select(*KEY, "window_start", value_col)
+        .groupBy(*KEY)
+        .applyInPandasWithState(
+            fold, out_schema, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
