@@ -83,6 +83,38 @@ def _cmd_run(args) -> int:
             spark.stop()
 
 
+def _cmd_alerts(args) -> int:
+    """Score a stored tier with the rolling z-score and print flagged
+    rows (the read-path sibling of `graphite`: series.py over the
+    store).  Chunk-archived tiers are served transparently."""
+    from pyspark.sql import functions as F
+
+    from logtrics_spark.operators.series import zscore
+    from logtrics_spark.plans.pipeline import RollupJob
+
+    spark, own = _get_session("logtrics-alerts")
+    job = RollupJob(spark, args.store)
+    tier_df = (
+        job.read_tier(args.tier)
+        if not args.from_chunks
+        else job.read_tier_from_chunks(args.tier)
+    )
+    flagged = (
+        zscore(tier_df, args.value_col, args.window_seconds, out_col="z")
+        .where(F.abs(F.col("z")) > args.threshold)
+        .orderBy(F.abs(F.col("z")).desc())
+        .limit(args.limit)
+    )
+    for r in flagged.collect():
+        print(
+            f"{r['source']}.{r['metric']} {r['window_start']} "
+            f"{args.value_col}={r[args.value_col]:.4f} z={r['z']:+.2f}"
+        )
+    if own:
+        spark.stop()
+    return 0
+
+
 def _cmd_config_check(args) -> int:
     from logtrics_spark.config import ConfigError, load_toml
 
@@ -135,6 +167,17 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--dry-run", action="store_true", help="print lines instead")
     g.add_argument("--limit", type=int, default=20)
     g.set_defaults(fn=_cmd_graphite)
+
+    a = sub.add_parser("alerts", help="rolling z-score anomalies over a stored tier")
+    a.add_argument("--store", required=True)
+    a.add_argument("--tier", default="1m")
+    a.add_argument("--value-col", default="avg")
+    a.add_argument("--window-seconds", type=int, default=3600)
+    a.add_argument("--threshold", type=float, default=3.0)
+    a.add_argument("--limit", type=int, default=50)
+    a.add_argument("--from-chunks", action="store_true",
+                   help="serve the tier from Gorilla chunks (post-retention)")
+    a.set_defaults(fn=_cmd_alerts)
 
     c = sub.add_parser("config-check", help="validate a reference-shaped TOML")
     c.add_argument("path")

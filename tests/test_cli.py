@@ -43,3 +43,23 @@ def test_cli_config_check(tmp_path, capsys):
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_cli_alerts(spark, tmp_path, capsys):
+    raw = str(tmp_path / "tok.parquet")
+    gen_tokseq(spark, 800, partitions=2).write.parquet(raw)
+    store = str(tmp_path / "store")
+    assert main(["rollup", "--input", raw, "--store", store, "--tiers", "1m"]) == 0
+    capsys.readouterr()
+
+    rc = main([
+        "alerts", "--store", store, "--tier", "1m",
+        "--window-seconds", "600", "--threshold", "1.5", "--limit", "10",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) <= 10
+    # every flagged line carries a |z| above the threshold
+    for ln in lines:
+        z = float(ln.rsplit("z=", 1)[1])
+        assert abs(z) > 1.5
