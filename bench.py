@@ -99,6 +99,8 @@ def main() -> None:
         "cascade_stddev_1h",
         "moving_avg_1h",
         "anomaly_zscore_1h",
+        "topk_sources_1h",
+        "distinct_users_1h",
     ]:
         # best-of-2: the shared host shows episodic CPU-steal bursts
         # (BENCH/BASELINE.md caveat); noise only ever adds time, so the
