@@ -298,6 +298,39 @@ def q_topk_sources_1h(spark, sf_dir):
     )
 
 
+def q_summarize_90m(spark, sf_dir):
+    """Graphite summarize(series, interval): re-bucket the 1m tier into
+    arbitrary 90-minute buckets (off the tier ladder) by composing the
+    tier aggregates — one partial-agg groupBy over tier-sized rows."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import summarize
+
+    s = summarize(rollup(_events_points(spark, sf_dir), "1m"), 5400)
+    return s.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt",
+        _q("sum", 4).alias("sum_val"),
+        _q("avg", 4).alias("avg_val"),
+    )
+
+
+def q_seasonal_diff_1h(spark, sf_dir):
+    """timeShift alerting pattern: each hourly slot vs the same hour one
+    day earlier (self-join on the shifted window key, co-partitioned,
+    no volume-dependent blowup)."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import seasonal_diff
+
+    d = seasonal_diff(rollup(_events_points(spark, sf_dir), "1h"), "avg", 86400)
+    return d.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("avg_prev", 4).alias("avg_prev"),
+        _q("delta", 4).alias("delta"),
+    )
+
+
 def q_distinct_users_1h(spark, sf_dir):
     """statsd 'set' instrument: exact unique user_id per source-hour via
     distinct-then-count (no per-group id set in one buffer); the
@@ -843,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_1m": q_counter_rate_1m,
         "anomaly_zscore_1h": q_anomaly_zscore_1h,
         "topk_sources_1h": q_topk_sources_1h,
+        "summarize_90m": q_summarize_90m,
+        "seasonal_diff_1h": q_seasonal_diff_1h,
         "distinct_users_1h": q_distinct_users_1h,
         "extract_regex": q_extract_regex,
         "dedup_exact": q_dedup_exact,
@@ -1035,6 +1070,26 @@ def oracle_sql() -> dict[str, str]:
                    floor(r.s * 10000.0 + 0.5 + 1e-6) / 10000.0 AS sum_val
             FROM r JOIN w ON r.source = w.source
             WHERE w.rk <= 3
+        """,
+        "summarize_90m": """
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/5400)*5400 AS BIGINT) AS ws,
+                   count(*) AS cnt,
+                   floor((sum(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS sum_val,
+                   floor((avg(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_val
+            FROM events GROUP BY 1, 2
+        """,
+        "seasonal_diff_1h": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                     avg(value) AS a
+              FROM events GROUP BY 1, 2)
+            SELECT cur.source, cur.ws,
+                   floor(prev.a * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_prev,
+                   floor((cur.a - prev.a) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS delta
+            FROM r cur LEFT JOIN r prev
+              ON cur.source = prev.source AND prev.ws = cur.ws - 86400
         """,
         "distinct_users_1h": """
             SELECT event_type AS source,

@@ -47,6 +47,30 @@ def _series_window(key: list[str]) -> Window:
     return Window.partitionBy(*key).orderBy(F.col(_WS))
 
 
+_MOVING_AGGS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _moving(
+    agg: str,
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None,
+    out_col: str | None,
+    prefix: str,
+) -> DataFrame:
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    key = key or KEY
+    out = out_col or f"{prefix}_{value_col}"
+    w = _series_window(key).rangeBetween(-(window_seconds - 1), 0)
+    return (
+        _with_epoch(tier_df)
+        .withColumn(out, _MOVING_AGGS[agg](value_col).over(w))
+        .drop(_WS)
+    )
+
+
 def moving_average(
     tier_df: DataFrame,
     value_col: str,
@@ -61,16 +85,40 @@ def moving_average(
     (inclusive of the current slot).  RANGE frame on epoch seconds, so
     gaps shrink the sample rather than stretching the time span.
     """
-    if window_seconds <= 0:
-        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
-    key = key or KEY
-    out = out_col or f"mavg_{value_col}"
-    w = _series_window(key).rangeBetween(-(window_seconds - 1), 0)
-    return (
-        _with_epoch(tier_df)
-        .withColumn(out, F.avg(value_col).over(w))
-        .drop(_WS)
-    )
+    return _moving("avg", tier_df, value_col, window_seconds, key, out_col, "mavg")
+
+
+def moving_sum(
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``movingSum`` — same trailing time-RANGE frame."""
+    return _moving("sum", tier_df, value_col, window_seconds, key, out_col, "msum")
+
+
+def moving_min(
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``movingMin`` — same trailing time-RANGE frame."""
+    return _moving("min", tier_df, value_col, window_seconds, key, out_col, "mmin")
+
+
+def moving_max(
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``movingMax`` — same trailing time-RANGE frame."""
+    return _moving("max", tier_df, value_col, window_seconds, key, out_col, "mmax")
 
 
 def derivative(
@@ -250,3 +298,83 @@ def topk_series(
         .select(*key)
     )
     return tier_df.join(F.broadcast(winners), on=key, how="left_semi")
+
+
+def summarize(
+    tier_df: DataFrame,
+    bucket_seconds: int,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """Graphite ``summarize(series, interval)``: re-bucket a tier into
+    ARBITRARY tumbling buckets (not restricted to the configured tier
+    ladder — 90m, 6h, whatever the dashboard asks for).
+
+    Same composition rules as the cascade: cnt/sum/min/max (and sum_sq,
+    when present) add up, avg is recomputed sum/cnt, last carries via
+    max_by on last_ts.  One partial-agg groupBy over tier-sized rows.
+    Buckets align to the epoch, matching ``rollup``'s window_start
+    convention, so ``summarize(rollup(x, "1m"), 3600)`` equals
+    ``rollup(x, "1h")`` on the composable columns.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    key = key or KEY
+    ws = F.timestamp_seconds(
+        (F.unix_timestamp("window_start") / bucket_seconds).cast("long")
+        * bucket_seconds
+    )
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        (F.sum("sum") / F.sum("cnt")).alias("avg"),
+        F.max_by("last", "last_ts").alias("last"),
+        F.max("last_ts").alias("last_ts"),
+    ]
+    if "sum_sq" in tier_df.columns:
+        aggs.append(F.sum("sum_sq").alias("sum_sq"))
+    return (
+        tier_df.withColumn("_bws", ws)
+        .groupBy(*key, "_bws")
+        .agg(*aggs)
+        .withColumnRenamed("_bws", "window_start")
+    )
+
+
+def time_shift(tier_df: DataFrame, shift_seconds: int) -> DataFrame:
+    """Graphite ``timeShift(series, offset)``: relabel every slot
+    ``shift_seconds`` later, so last week's series lands on this week's
+    timeline for comparison."""
+    return tier_df.withColumn(
+        "window_start",
+        F.timestamp_seconds(F.unix_timestamp("window_start") + shift_seconds),
+    )
+
+
+def seasonal_diff(
+    tier_df: DataFrame,
+    value_col: str,
+    period_seconds: int,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """The timeShift alerting pattern: each slot vs the same slot one
+    period earlier (day-over-day, week-over-week).
+
+    Adds ``<value_col>_prev`` (null when the earlier slot is absent)
+    and ``delta`` = value - prev.  The self-join is keyed on
+    (series, window_start) — both sides tier-sized, co-partitioned by
+    the same key, no data-volume-dependent blowup.
+    """
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be positive, got {period_seconds}")
+    key = key or KEY
+    prev = time_shift(
+        tier_df.select(
+            *key, "window_start", F.col(value_col).alias(f"{value_col}_prev")
+        ),
+        period_seconds,
+    )
+    return tier_df.join(prev, on=[*key, "window_start"], how="left").withColumn(
+        "delta", F.col(value_col) - F.col(f"{value_col}_prev")
+    )

@@ -220,3 +220,99 @@ def test_nan_samples_do_not_poison_nnd_zscore_topk(spark):
     big = _tier(spark, [("a", 0, 100), ("a", 1, 100), ("b", 0, 1), ("b", 1, nan)])
     out = topk_series(big, k=1, value_col="val", by="sum")
     assert {r["source"] for r in out.collect()} == {"a"}
+
+
+def test_moving_sum_min_max_variants(spark):
+    df = _tier(spark, [(0, 1), (1, 4), (2, 2), (10, 7)])
+    from logtrics_spark.operators.series import moving_max, moving_min, moving_sum
+
+    assert _vals(moving_sum(df, "val", 180), "msum_val") == [1.0, 5.0, 7.0, 7.0]
+    assert _vals(moving_min(df, "val", 180), "mmin_val") == [1.0, 1.0, 1.0, 7.0]
+    assert _vals(moving_max(df, "val", 180), "mmax_val") == [1.0, 4.0, 4.0, 7.0]
+
+
+def test_summarize_equals_tier_cascade(spark):
+    """summarize(rollup(x,'1m'), 3600) must equal rollup(x,'1h') on the
+    composable columns — the epoch-aligned bucket convention."""
+    from logtrics_spark.datagen import gen_tokseq
+    from logtrics_spark.operators.extract import extract_points
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import summarize
+
+    pts = extract_points(gen_tokseq(spark, 1500, partitions=2))
+    got = (
+        summarize(rollup(pts, "1m"), 3600)
+        .select("source", "metric", "kind", "window_start", "cnt", "sum", "min", "max", "avg")
+        .toPandas()
+        .sort_values(["source", "metric", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        rollup(pts, "1h")
+        .select("source", "metric", "kind", "window_start", "cnt", "sum", "min", "max", "avg")
+        .toPandas()
+        .sort_values(["source", "metric", "window_start"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-9)
+
+
+def test_summarize_arbitrary_bucket(spark):
+    """A 90s bucket (not on the tier ladder) groups minutes 0-1 / 3."""
+    from logtrics_spark.operators.series import summarize
+
+    df = (
+        _tier(spark, [(0, 2), (1, 4), (3, 10)])
+        .withColumnRenamed("val", "sum")
+    )
+    from pyspark.sql import functions as F
+
+    t = (
+        df.withColumn("cnt", F.lit(1).cast("long"))
+        .withColumn("min", F.col("sum"))
+        .withColumn("max", F.col("sum"))
+        .withColumn("avg", F.col("sum"))
+        .withColumn("last", F.col("sum"))
+        .withColumn("last_ts", F.col("window_start"))
+    )
+    out = summarize(t, 90).orderBy("window_start").collect()
+    assert [(r["cnt"], r["sum"]) for r in out] == [(2, 6.0), (1, 10.0)]
+    assert [r["last"] for r in out] == [4.0, 10.0]
+
+
+def test_seasonal_diff_day_over_day(spark):
+    from datetime import datetime, timezone
+
+    from logtrics_spark.operators.series import seasonal_diff
+
+    def day_rows(day, vals):
+        return [
+            ("s", "m", "gauge",
+             datetime(2024, 1, day, 0, m, tzinfo=timezone.utc).replace(tzinfo=None),
+             float(v))
+            for m, v in vals
+        ]
+
+    df = spark.createDataFrame(
+        day_rows(1, [(0, 10), (1, 20)]) + day_rows(2, [(0, 13), (2, 9)]),
+        "source string, metric string, kind string, window_start timestamp, val double",
+    )
+    out = {
+        (r["window_start"].day, r["window_start"].minute): (r["val_prev"], r["delta"])
+        for r in seasonal_diff(df, "val", 86400).collect()
+    }
+    assert out[(2, 0)] == (10.0, 3.0)       # day 2 vs day 1 same minute
+    assert out[(2, 2)] == (None, None)      # no slot a day earlier
+    assert out[(1, 0)] == (None, None)      # first day has no baseline
+
+
+def test_summarize_and_seasonal_validation(spark):
+    from logtrics_spark.operators.series import seasonal_diff, summarize
+
+    df = _tier(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        summarize(df, 0)
+    with pytest.raises(ValueError):
+        seasonal_diff(df, "val", -5)
