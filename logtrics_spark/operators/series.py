@@ -332,14 +332,22 @@ def summarize(
         F.max_by("last", "last_ts").alias("last"),
         F.max("last_ts").alias("last_ts"),
     ]
-    if "sum_sq" in tier_df.columns:
+    has_sq = "sum_sq" in tier_df.columns
+    if has_sq:
         aggs.append(F.sum("sum_sq").alias("sum_sq"))
-    return (
+    out = (
         tier_df.withColumn("_bws", ws)
         .groupBy(*key, "_bws")
         .agg(*aggs)
         .withColumnRenamed("_bws", "window_start")
     )
+    if has_sq:
+        # same moment-derived sample stddev the cascade emits, so
+        # summarize output is schema-compatible with real tier rows
+        from logtrics_spark.operators.rollup import stddev_from_moments
+
+        out = out.withColumn("stddev", stddev_from_moments("cnt", "sum", "sum_sq"))
+    return out
 
 
 def time_shift(tier_df: DataFrame, shift_seconds: int) -> DataFrame:

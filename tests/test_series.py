@@ -316,3 +316,32 @@ def test_summarize_and_seasonal_validation(spark):
         summarize(df, 0)
     with pytest.raises(ValueError):
         seasonal_diff(df, "val", -5)
+
+
+def test_summarize_derives_stddev_from_moments(spark):
+    """When the tier carries sum_sq, summarize must emit the same
+    moment-derived sample stddev the cascade does (schema parity with
+    real tier rows)."""
+    from logtrics_spark.datagen import gen_tokseq
+    from logtrics_spark.operators.extract import extract_points
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import summarize
+
+    pts = extract_points(gen_tokseq(spark, 1200, partitions=2))
+    got = (
+        summarize(rollup(pts, "1m"), 3600)
+        .select("source", "metric", "kind", "window_start", "stddev")
+        .toPandas()
+        .sort_values(["source", "metric", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        rollup(pts, "1h")
+        .select("source", "metric", "kind", "window_start", "stddev")
+        .toPandas()
+        .sort_values(["source", "metric", "window_start"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-6)
