@@ -331,6 +331,22 @@ def q_seasonal_diff_1h(spark, sf_dir):
     )
 
 
+def q_sum_series_1h(spark, sf_dir):
+    """Graphite sumSeries: collapse the per-source series into one
+    all-sources series per window (one partial-agg groupBy)."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import aggregate_series
+
+    s = aggregate_series(
+        rollup(_events_points(spark, sf_dir), "1h"), "sum", how="sum"
+    )
+    return s.select(
+        "metric",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("sum_sum", 4).alias("total"),
+    )
+
+
 def q_distinct_users_1h(spark, sf_dir):
     """statsd 'set' instrument: exact unique user_id per source-hour via
     distinct-then-count (no per-group id set in one buffer); the
@@ -878,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_sources_1h": q_topk_sources_1h,
         "summarize_90m": q_summarize_90m,
         "seasonal_diff_1h": q_seasonal_diff_1h,
+        "sum_series_1h": q_sum_series_1h,
         "distinct_users_1h": q_distinct_users_1h,
         "extract_regex": q_extract_regex,
         "dedup_exact": q_dedup_exact,
@@ -1090,6 +1107,12 @@ def oracle_sql() -> dict[str, str]:
                    floor((cur.a - prev.a) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS delta
             FROM r cur LEFT JOIN r prev
               ON cur.source = prev.source AND prev.ws = cur.ws - 86400
+        """,
+        "sum_series_1h": """
+            SELECT 'ev.value' AS metric,
+                   CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                   floor((sum(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS total
+            FROM events GROUP BY 1, 2
         """,
         "distinct_users_1h": """
             SELECT event_type AS source,

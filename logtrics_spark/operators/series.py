@@ -386,3 +386,41 @@ def seasonal_diff(
     return tier_df.join(prev, on=[*key, "window_start"], how="left").withColumn(
         "delta", F.col(value_col) - F.col(f"{value_col}_prev")
     )
+
+
+_SERIES_COMBINE = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def aggregate_series(
+    tier_df: DataFrame,
+    value_col: str,
+    how: str = "sum",
+    collapse: list[str] | None = None,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``sumSeries/averageSeries/minSeries/maxSeries``: combine
+    many series into one per window by collapsing key columns (default:
+    ``source`` — "this metric across all hosts").
+
+    One partial-agg groupBy over tier-sized rows; the output keeps the
+    surviving key columns plus window_start.
+    """
+    if how not in _SERIES_COMBINE:
+        raise ValueError(f"how must be one of {sorted(_SERIES_COMBINE)}, got {how!r}")
+    key = key or KEY
+    collapse = collapse if collapse is not None else ["source"]
+    bad = [c for c in collapse if c not in key]
+    if bad:
+        raise ValueError(f"collapse columns {bad} not in key {key}")
+    keep = [c for c in key if c not in collapse]
+    out = out_col or f"{how}_{value_col}"
+    return tier_df.groupBy(*keep, "window_start").agg(
+        _SERIES_COMBINE[how](value_col).alias(out)
+    )

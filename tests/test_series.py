@@ -345,3 +345,22 @@ def test_summarize_derives_stddev_from_moments(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-6)
+
+
+def test_aggregate_series_collapses_sources(spark):
+    from logtrics_spark.operators.series import aggregate_series
+
+    df = _tier(spark, [("a", 0, 1), ("b", 0, 2), ("a", 1, 5), ("c", 1, 7)])
+    out = aggregate_series(df, "val", how="sum")
+    got = {r["window_start"].minute: r["sum_val"] for r in out.collect()}
+    assert got == {0: 3.0, 1: 12.0}
+    assert "source" not in out.columns and "metric" in out.columns
+
+    avg = aggregate_series(df, "val", how="avg")
+    got = {r["window_start"].minute: r["avg_val"] for r in avg.collect()}
+    assert got == {0: 1.5, 1: 6.0}
+
+    with pytest.raises(ValueError):
+        aggregate_series(df, "val", how="median")
+    with pytest.raises(ValueError):
+        aggregate_series(df, "val", collapse=["host"])
