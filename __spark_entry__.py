@@ -347,6 +347,22 @@ def q_sum_series_1h(spark, sf_dir):
     )
 
 
+def q_p95_series_1h(spark, sf_dir):
+    """Graphite percentileOfSeries: the p95 across sources per window
+    (exact interpolated percentile; buffer bounded by series count)."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import percentile_of_series
+
+    s = percentile_of_series(
+        rollup(_events_points(spark, sf_dir), "1h"), "avg", 0.95
+    )
+    return s.select(
+        "metric",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("p95_avg", 4).alias("p95"),
+    )
+
+
 def q_distinct_users_1h(spark, sf_dir):
     """statsd 'set' instrument: exact unique user_id per source-hour via
     distinct-then-count (no per-group id set in one buffer); the
@@ -895,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_90m": q_summarize_90m,
         "seasonal_diff_1h": q_seasonal_diff_1h,
         "sum_series_1h": q_sum_series_1h,
+        "p95_series_1h": q_p95_series_1h,
         "distinct_users_1h": q_distinct_users_1h,
         "extract_regex": q_extract_regex,
         "dedup_exact": q_dedup_exact,
@@ -1113,6 +1130,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
                    floor((sum(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS total
             FROM events GROUP BY 1, 2
+        """,
+        "p95_series_1h": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                     avg(value) AS a
+              FROM events GROUP BY 1, 2)
+            SELECT 'ev.value' AS metric, ws,
+                   floor((quantile_cont(a, 0.95)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p95
+            FROM r GROUP BY 1, 2
         """,
         "distinct_users_1h": """
             SELECT event_type AS source,

@@ -424,3 +424,35 @@ def aggregate_series(
     return tier_df.groupBy(*keep, "window_start").agg(
         _SERIES_COMBINE[how](value_col).alias(out)
     )
+
+
+def percentile_of_series(
+    tier_df: DataFrame,
+    value_col: str,
+    p: float,
+    collapse: list[str] | None = None,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``percentileOfSeries(seriesList, n)``: the p-quantile
+    ACROSS series per window (e.g. the p95 host for each minute),
+    collapsing ``collapse`` key columns like ``aggregate_series``.
+
+    Exact interpolated percentile (Spark ``percentile`` == DuckDB
+    ``quantile_cont``).  The per-group buffer holds one window's values
+    across the collapsed series — bounded by series count (registry-
+    sized), not by data volume; use ``percentile_approx`` upstream of
+    this if a deployment ever collapses millions of series.
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    key = key or KEY
+    collapse = collapse if collapse is not None else ["source"]
+    bad = [c for c in collapse if c not in key]
+    if bad:
+        raise ValueError(f"collapse columns {bad} not in key {key}")
+    keep = [c for c in key if c not in collapse]
+    out = out_col or f"p{int(p * 100)}_{value_col}"
+    return tier_df.groupBy(*keep, "window_start").agg(
+        F.percentile(value_col, F.lit(p)).alias(out)
+    )

@@ -364,3 +364,14 @@ def test_aggregate_series_collapses_sources(spark):
         aggregate_series(df, "val", how="median")
     with pytest.raises(ValueError):
         aggregate_series(df, "val", collapse=["host"])
+
+
+def test_percentile_of_series(spark):
+    from logtrics_spark.operators.series import percentile_of_series
+
+    df = _tier(spark, [("a", 0, 1), ("b", 0, 3), ("c", 0, 5), ("a", 1, 10)])
+    out = percentile_of_series(df, "val", 0.5)
+    got = {r["window_start"].minute: r["p50_val"] for r in out.collect()}
+    assert got == {0: 3.0, 1: 10.0}
+    with pytest.raises(ValueError):
+        percentile_of_series(df, "val", 1.5)
