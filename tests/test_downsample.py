@@ -1,0 +1,80 @@
+"""LTTB downsampling (operators/downsample.py)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pytest
+
+from logtrics_spark.operators.downsample import lttb, lttb_fold
+
+BASE = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+
+
+def test_fold_keeps_endpoints_and_count():
+    xs = np.arange(100, dtype="float64")
+    ys = np.sin(xs / 7.0)
+    idx = lttb_fold(xs, ys, 12)
+    assert len(idx) == 12
+    assert idx[0] == 0 and idx[-1] == 99
+    assert idx == sorted(idx)
+
+
+def test_fold_passthrough_and_validation():
+    assert lttb_fold([0, 1, 2], [5, 6, 7], 10) == [0, 1, 2]
+    with pytest.raises(ValueError):
+        lttb_fold(list(range(10)), list(range(10)), 2)
+
+
+def test_fold_keeps_spike():
+    """The whole point of LTTB over averaging: a one-slot spike in a
+    flat series must survive aggressive downsampling."""
+    n = 500
+    ys = [1.0] * n
+    ys[333] = 100.0
+    idx = lttb_fold(np.arange(n, dtype="float64"), ys, 20)
+    assert 333 in idx
+
+
+def test_spark_lttb_matches_fold(spark):
+    n = 240
+    vals = [10 + 5 * math.sin(i / 9.0) for i in range(n)]
+    vals[100] = 60.0
+    rows = [
+        ("s", "m", "gauge", BASE + timedelta(minutes=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source string, metric string, kind string, "
+        "window_start timestamp, avg double",
+    )
+    got = (
+        lttb(df, "avg", 30)
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    xs = np.arange(n, dtype="float64") * 60
+    exp_idx = lttb_fold(xs, np.array(vals), 30)
+    assert len(got) == 30
+    assert list(got["avg"]) == [vals[i] for i in exp_idx]
+    assert 60.0 in set(got["avg"])  # the spike survived
+
+
+def test_spark_lttb_drops_nulls_and_small_series_pass_through(spark):
+    rows = [
+        ("s", "m", "gauge", BASE + timedelta(minutes=i), v)
+        for i, v in enumerate([1.0, None, 3.0, 4.0])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source string, metric string, kind string, "
+        "window_start timestamp, avg double",
+    )
+    got = lttb(df, "avg", 10).toPandas()
+    assert sorted(got["avg"]) == [1.0, 3.0, 4.0]
+    with pytest.raises(ValueError):
+        lttb(df, "avg", 2)
