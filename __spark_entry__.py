@@ -363,6 +363,20 @@ def q_p95_series_1h(spark, sf_dir):
     )
 
 
+def q_as_percent_1h(spark, sf_dir):
+    """Graphite asPercent: each source's share of the all-sources sum
+    per window — a pure window aggregate, no join."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import as_percent
+
+    s = as_percent(rollup(_events_points(spark, sf_dir), "1h"), "sum")
+    return s.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("pct_sum", 4).alias("pct"),
+    )
+
+
 def q_distinct_users_1h(spark, sf_dir):
     """statsd 'set' instrument: exact unique user_id per source-hour via
     distinct-then-count (no per-group id set in one buffer); the
@@ -912,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_diff_1h": q_seasonal_diff_1h,
         "sum_series_1h": q_sum_series_1h,
         "p95_series_1h": q_p95_series_1h,
+        "as_percent_1h": q_as_percent_1h,
         "distinct_users_1h": q_distinct_users_1h,
         "extract_regex": q_extract_regex,
         "dedup_exact": q_dedup_exact,
@@ -1140,6 +1155,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ev.value' AS metric, ws,
                    floor((quantile_cont(a, 0.95)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS p95
             FROM r GROUP BY 1, 2
+        """,
+        "as_percent_1h": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                     sum(value) AS s
+              FROM events GROUP BY 1, 2)
+            SELECT source, ws,
+                   floor((CASE WHEN sum(s) OVER (PARTITION BY ws) <> 0
+                          THEN s / sum(s) OVER (PARTITION BY ws) * 100.0 END)
+                     * 10000.0 + 0.5 + 1e-6) / 10000.0 AS pct
+            FROM r
         """,
         "distinct_users_1h": """
             SELECT event_type AS source,

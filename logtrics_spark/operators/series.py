@@ -456,3 +456,33 @@ def percentile_of_series(
     return tier_df.groupBy(*keep, "window_start").agg(
         F.percentile(value_col, F.lit(p)).alias(out)
     )
+
+
+def as_percent(
+    tier_df: DataFrame,
+    value_col: str,
+    collapse: list[str] | None = None,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``asPercent(seriesList)``: each series' share of the
+    window total across the collapsed key columns (default: each
+    source's percentage of the all-sources total per window).
+
+    Pure window aggregate over (surviving key, window_start) — no join,
+    one exchange.  Zero or null totals yield null (a 0/0 share is
+    meaningless, and Spark's double x/0 is null anyway).
+    """
+    key = key or KEY
+    collapse = collapse if collapse is not None else ["source"]
+    bad = [c for c in collapse if c not in key]
+    if bad:
+        raise ValueError(f"collapse columns {bad} not in key {key}")
+    keep = [c for c in key if c not in collapse]
+    out = out_col or f"pct_{value_col}"
+    w = Window.partitionBy(*keep, "window_start")
+    total = F.sum(value_col).over(w)
+    return tier_df.withColumn(
+        out,
+        F.when(total != 0, F.col(value_col) / total * 100.0),
+    )

@@ -375,3 +375,17 @@ def test_percentile_of_series(spark):
     assert got == {0: 3.0, 1: 10.0}
     with pytest.raises(ValueError):
         percentile_of_series(df, "val", 1.5)
+
+
+def test_as_percent_shares_sum_to_100(spark):
+    from logtrics_spark.operators.series import as_percent
+
+    df = _tier(spark, [("a", 0, 1), ("b", 0, 3), ("a", 1, 5)])
+    out = as_percent(df, "val")
+    got = {(r["source"], r["window_start"].minute): r["pct_val"] for r in out.collect()}
+    assert got[("a", 0)] == pytest.approx(25.0)
+    assert got[("b", 0)] == pytest.approx(75.0)
+    assert got[("a", 1)] == pytest.approx(100.0)
+    # zero total -> null share, not a division blowup
+    z = as_percent(_tier(spark, [("a", 0, 0), ("b", 0, 0)]), "val")
+    assert all(r["pct_val"] is None for r in z.collect())
