@@ -17,7 +17,11 @@ fed from the continuously-maintained tier table:
 Ordering contract (same as ewma_stream): windows arrive in
 non-decreasing window_start order per series (true for the append-mode
 tier sink).  Within a micro-batch rows are sorted; across batches the
-state store carries the trailing window forward.
+state store carries the trailing window forward.  NOT suitable over
+the daemon's snapshot-flush store: that layout re-emits every window
+per flush_seq (latest-wins), violating the monotonic-arrival contract
+— score a daemon store with the batch ``operators/series.py::zscore``
+via ``python -m logtrics_spark alerts`` instead.
 
 Semantics are pinned to the batch operator by test: same trailing
 RANGE frame [ws - window + 1, ws] inclusive of the current slot, same
