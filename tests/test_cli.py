@@ -63,3 +63,15 @@ def test_cli_alerts(spark, tmp_path, capsys):
     for ln in lines:
         z = float(ln.rsplit("z=", 1)[1])
         assert abs(z) > 1.5
+
+
+def test_explain_queries_tool(spark, capsys):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import explain_queries
+
+    assert explain_queries.main(["rollup_1m"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Exchange" in out
+    assert explain_queries.main(["no_such_query"]) == 2

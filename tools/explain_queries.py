@@ -21,6 +21,8 @@ sys.path.insert(0, "/root/repo")
 
 def main(argv: list[str]) -> int:
     import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
     from logtrics_spark.session import get_spark
 
     if not argv:
@@ -29,6 +31,8 @@ def main(argv: list[str]) -> int:
     target = argv[0]
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
 
+    # reuse an embedding session (tests) — only stop a session we made
+    own = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="explain", master="local[4]", shuffle_partitions=4)
     qs = entrymod.queries()
     try:
@@ -56,7 +60,8 @@ def main(argv: list[str]) -> int:
         qs[target](spark, sf_dir).explain("formatted")
         return 0
     finally:
-        spark.stop()
+        if own:
+            spark.stop()
 
 
 if __name__ == "__main__":
