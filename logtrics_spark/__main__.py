@@ -86,15 +86,19 @@ def _cmd_run(args) -> int:
 def _cmd_alerts(args) -> int:
     """Score a stored tier with the rolling z-score and print flagged
     rows (the read-path sibling of `graphite`: series.py over the
-    store).  Chunk-archived tiers are served transparently."""
+    store).  Chunk-archived tiers are served transparently.  Daemon
+    (snapshot-flush) stores are resolved latest-wins first — scoring
+    the raw snapshot history would let superseded flush_seq versions
+    pollute the trailing stats and emit duplicate rows per window."""
     from pyspark.sql import functions as F
 
     from logtrics_spark.operators.series import zscore
+    from logtrics_spark.plans.daemon import resolve_latest
     from logtrics_spark.plans.pipeline import RollupJob
 
     spark, own = _get_session("logtrics-alerts")
     job = RollupJob(spark, args.store)
-    tier_df = (
+    tier_df = resolve_latest(
         job.read_tier(args.tier)
         if not args.from_chunks
         else job.read_tier_from_chunks(args.tier)
@@ -110,6 +114,43 @@ def _cmd_alerts(args) -> int:
             f"{r['source']}.{r['metric']} {r['window_start']} "
             f"{args.value_col}={r[args.value_col]:.4f} z={r['z']:+.2f}"
         )
+    if own:
+        spark.stop()
+    return 0
+
+
+def _cmd_compact(args) -> int:
+    """Latest-wins compaction of a daemon live store: each tier's day
+    partitions are rewritten to one snapshot version, dropping
+    superseded flush_seq history (the run-mode daemon can also do this
+    itself every N flushes via graphite.compact_every)."""
+    from logtrics_spark.api import Engine
+    from logtrics_spark.plans.daemon import Daemon
+
+    spark, own = _get_session("logtrics-compact")
+    d = Daemon(spark, {}, Engine(), args.store)
+    counts = d.compact(args.tiers.split(",") if args.tiers else None)
+    print(json.dumps({"compacted": counts}))
+    if own:
+        spark.stop()
+    return 0
+
+
+def _cmd_archive(args) -> int:
+    """Seal the live store's closed days into a batch archival store
+    (tiers + Gorilla chunks + lineage) and drop them from the live
+    head — the daemon owns the open day, the RollupJob owns history."""
+    from logtrics_spark.api import Engine
+    from logtrics_spark.plans.daemon import Daemon
+    from logtrics_spark.plans.pipeline import RollupJob
+
+    spark, own = _get_session("logtrics-archive")
+    tiers = args.tiers.split(",") if args.tiers else None
+    conf = {"graphite": {"tiers": tiers}} if tiers else {}
+    d = Daemon(spark, conf, Engine(), args.store)
+    job = RollupJob(spark, args.archive_store, tiers=tiers)
+    stats = d.archive_closed_days(job, before_day=args.before_day)
+    print(json.dumps({"sealed_units": stats}))
     if own:
         spark.stop()
     return 0
@@ -178,6 +219,18 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--from-chunks", action="store_true",
                    help="serve the tier from Gorilla chunks (post-retention)")
     a.set_defaults(fn=_cmd_alerts)
+
+    k = sub.add_parser("compact", help="latest-wins compaction of a daemon live store")
+    k.add_argument("--store", required=True, help="live tier store root")
+    k.add_argument("--tiers", help="comma list (default: every tier in the store)")
+    k.set_defaults(fn=_cmd_compact)
+
+    h = sub.add_parser("archive", help="seal closed live-store days into an archival store")
+    h.add_argument("--store", required=True, help="live tier store root")
+    h.add_argument("--archive-store", required=True, help="RollupJob store root")
+    h.add_argument("--tiers", help="comma list, default 1m,5m,1h,1d (finest must match the live tier)")
+    h.add_argument("--before-day", help="archive days < this yyyy-MM-dd (default: the open day)")
+    h.set_defaults(fn=_cmd_archive)
 
     c = sub.add_parser("config-check", help="validate a reference-shaped TOML")
     c.add_argument("path")

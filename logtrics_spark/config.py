@@ -33,6 +33,9 @@ DEFAULTS: dict[str, Any] = {
         "chunk_span": "1d",
         "store": None,
         "debug": False,
+        # daemon live-store housekeeping: compact superseded snapshot
+        # versions every N flushes (0 = only via Daemon.compact()/CLI)
+        "compact_every": 0,
     },
     "logging": {"level": "info", "console": True},
     "expression": None,

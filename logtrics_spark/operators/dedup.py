@@ -522,6 +522,14 @@ def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new
         if not changed:
             break
+    else:
+        # The last round still moved labels: some component's diameter
+        # exceeds max_iter and the group ids are NOT converged — a keep/
+        # drop plan built on them would silently keep extra duplicates.
+        raise RuntimeError(
+            f"dedup_groups did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (component diameter exceeds it)"
+        )
     return labels.select("id", F.col("label").alias("group_id"))
 
 

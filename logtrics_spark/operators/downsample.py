@@ -81,11 +81,11 @@ def lttb(
         raise ValueError(f"n_out must be >= 3, got {n_out}")
     key = key or KEY
 
+    in_fields = {f.name: f for f in tier_df.schema.fields}
+    out_cols = [*key, "window_start", value_col]
     out_schema = T.StructType(
-        [
-            T.StructField("source", T.StringType()),
-            T.StructField("metric", T.StringType()),
-            T.StructField("kind", T.StringType()),
+        [T.StructField(c, in_fields[c].dataType) for c in key]
+        + [
             T.StructField("window_start", T.TimestampType()),
             T.StructField(value_col, T.DoubleType()),
         ]
@@ -98,11 +98,11 @@ def lttb(
             .reset_index(drop=True)
         )
         if not len(pdf):
-            return pdf[["source", "metric", "kind", "window_start", value_col]]
+            return pdf[out_cols]
         xs = pdf["window_start"].astype("datetime64[s]").astype("int64").to_numpy()
         ys = pdf[value_col].astype("float64").to_numpy()
         idx = lttb_fold(xs, ys, n_out)
-        return pdf.iloc[idx][["source", "metric", "kind", "window_start", value_col]]
+        return pdf.iloc[idx][out_cols]
 
     return (
         tier_df.select(*key, "window_start", value_col)

@@ -128,11 +128,10 @@ def holt_winters(
         raise ValueError("season must span at least 2 slots")
     key = key or KEY
 
+    in_fields = {f.name: f for f in tier_df.schema.fields}
     out_schema = T.StructType(
-        [
-            T.StructField("source", T.StringType()),
-            T.StructField("metric", T.StringType()),
-            T.StructField("kind", T.StringType()),
+        [T.StructField(c, in_fields[c].dataType) for c in key]
+        + [
             T.StructField("window_start", T.TimestampType()),
             T.StructField(value_col, T.DoubleType()),
             T.StructField("forecast", T.DoubleType()),
@@ -154,7 +153,7 @@ def holt_winters(
             )
         vals = [None if pd.isna(v) else float(v) for v in pdf[value_col]]
         forecasts, devs = holt_winters_fold(vals, m, alpha, beta, gamma)
-        out = pdf[["source", "metric", "kind", "window_start"]].copy()
+        out = pdf[[*key, "window_start"]].copy()
         out[value_col] = pd.array(vals, dtype="Float64")
         out["forecast"] = pd.array(forecasts, dtype="Float64")
         out["dev"] = pd.array(devs, dtype="Float64")

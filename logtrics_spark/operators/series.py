@@ -470,8 +470,10 @@ def as_percent(
     source's percentage of the all-sources total per window).
 
     Pure window aggregate over (surviving key, window_start) — no join,
-    one exchange.  Zero or null totals yield null (a 0/0 share is
-    meaningless, and Spark's double x/0 is null anyway).
+    one exchange.  Zero, null, or NaN totals yield null (a 0/0 share is
+    meaningless, Spark's double x/0 is null anyway, and NaN != 0 is
+    TRUE under Spark's NaN ordering — one NaN sample must not poison
+    every series' share in that window).
     """
     key = key or KEY
     collapse = collapse if collapse is not None else ["source"]
@@ -481,8 +483,11 @@ def as_percent(
     keep = [c for c in key if c not in collapse]
     out = out_col or f"pct_{value_col}"
     w = Window.partitionBy(*keep, "window_start")
-    total = F.sum(value_col).over(w)
+    total = F.sum(
+        F.when(~F.isnan(F.col(value_col)), F.col(value_col))
+    ).over(w)
+    v = F.col(value_col)
     return tier_df.withColumn(
         out,
-        F.when(total != 0, F.col(value_col) / total * 100.0),
+        F.when((total != 0) & ~F.isnan(total) & ~F.isnan(v), v / total * 100.0),
     )

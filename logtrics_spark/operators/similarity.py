@@ -74,10 +74,25 @@ def train_centroids(
     """Lloyd's k-means on a bounded driver-side sample (numpy).
 
     The sample is capped, so driver memory is bounded regardless of
-    corpus size; centroids are tiny and get broadcast.
+    corpus size; centroids are tiny and get broadcast.  The sample is a
+    seeded Bernoulli ``df.sample`` across ALL partitions (never a bare
+    ``limit``, which takes whatever the first file yields — at 100 TB
+    that is one time-/source-clustered slice and the centroids would be
+    trained on a biased corner of the space, degrading IVF recall
+    corpus-wide).  For production-sized C, train with a distributed
+    k-means|| instead (e.g. Spark MLlib KMeans) and pass the centroids
+    straight to :func:`build_ivf_store`.
     """
+    # Oversample ~2x the target rows so the post-sample limit() is a
+    # cheap truncation of an already-uniform stream; when the corpus is
+    # small the sample is the whole corpus.
+    cnt = corpus.select(vec_col).count()
+    frac = min(1.0, (2.0 * sample_rows) / max(cnt, 1))
+    sampled = corpus.select(vec_col)
+    if frac < 1.0:
+        sampled = sampled.sample(fraction=frac, seed=seed)
     sample = np.array(
-        corpus.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist(),
+        sampled.limit(sample_rows).toPandas()[vec_col].tolist(),
         dtype=np.float64,
     )
     rng = np.random.default_rng(seed)

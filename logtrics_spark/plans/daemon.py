@@ -59,6 +59,24 @@ from logtrics_spark.streaming.rollup_stream import rollup_stream
 logger = logging.getLogger("logtrics_spark.daemon")
 
 
+def resolve_latest(tier_df: DataFrame) -> DataFrame:
+    """Latest-wins view of a snapshot-flush (daemon) tier table: one row
+    per series+window, each value taken from the highest ``flush_seq``.
+
+    Frames without a ``flush_seq`` column (the batch pipeline's sealed,
+    write-once tiers) pass through unchanged — callers can apply this
+    unconditionally before read-path operators (zscore, series
+    functions) that assume one row per window.
+    """
+    if "flush_seq" not in tier_df.columns:
+        return tier_df
+    keys = [c for c in ("source", "metric", "kind", "window_start") if c in tier_df.columns]
+    vals = [c for c in tier_df.columns if c not in keys and c != "flush_seq"]
+    return tier_df.groupBy(*keys).agg(
+        *[F.max_by(c, "flush_seq").alias(c) for c in vals]
+    )
+
+
 def load_rules(spec: str) -> Engine:
     """Resolve ``<module-or-file.py>:<attr>`` to an Engine.
 
@@ -144,15 +162,32 @@ class Daemon:
         self.interval = int(g.get("interval", 30))
         self.io = ParquetTableIO(self.spark, self.store_root)
         self._flush_seq = 0
+        self._flush_floor_loaded = False
+        self.compact_every = int(g.get("compact_every", 0) or 0)
+        self._flushes_since_compact = 0
         import threading
 
         self._seq_lock = threading.Lock()
+        self._store_lock = threading.Lock()
 
     def _next_flush_seq(self) -> int:
-        """Monotonic snapshot stamp across all queries + driver drains."""
+        """Monotonic snapshot stamp across all queries + driver drains.
+
+        The first call folds in max(flush_seq) already in the store
+        (mirroring ParquetTableIO._next_seal_seq): a daemon restart on a
+        clock that stepped backwards must never stamp below rows already
+        written, or read_tier_latest would resurrect stale snapshots.
+        """
         import time
 
         with self._seq_lock:
+            if not self._flush_floor_loaded:
+                self._flush_floor_loaded = True
+                if self.io.exists("tiers"):
+                    t = self.io.read("tiers")
+                    if "flush_seq" in t.columns:
+                        stored = t.agg(F.max("flush_seq")).collect()[0][0] or 0
+                        self._flush_seq = max(self._flush_seq, stored)
             self._flush_seq = max(self._flush_seq + 1, int(time.time() * 1_000_000))
             return self._flush_seq
 
@@ -176,7 +211,20 @@ class Daemon:
                 .withColumn("tier", F.lit(self.tier))
                 .withColumn("flush_seq", F.lit(self._next_flush_seq()))
             )
-            self.io.write_partitioned(out, "tiers", ["tier", "day"], overwrite_dynamic=False)
+            # store writes serialize across concurrently-flushing
+            # streaming queries so compaction's read-then-rewrite can
+            # never race an append into a lost update
+            with self._store_lock:
+                self.io.write_partitioned(
+                    out, "tiers", ["tier", "day"], overwrite_dynamic=False
+                )
+                self._flushes_since_compact += 1
+                due = (
+                    self.compact_every > 0
+                    and self._flushes_since_compact >= self.compact_every
+                )
+            if due:
+                self.compact()
             g = self.conf.get("graphite", {})
             lines = to_graphite_lines(batch_df, self.tier, prefix=g.get("prefix", "logtrics"))
             if g.get("debug"):  # K3: log the registry snapshot per flush
@@ -234,12 +282,92 @@ class Daemon:
                 f"store {self.store_root!r} has no tier={tier} rows yet "
                 "(no batch produced matching lines?)"
             )
-        t = self.io.read(f"tiers/tier={tier}").drop("day")
-        keys = ["source", "metric", "kind", "window_start"]
-        vals = [c for c in t.columns if c not in keys and c != "flush_seq"]
-        return t.groupBy(*keys).agg(
-            *[F.max_by(c, "flush_seq").alias(c) for c in vals]
-        )
+        return resolve_latest(self.io.read(f"tiers/tier={tier}").drop("day"))
+
+    # ------------------------------------------------------ housekeeping
+    def compact(self, tiers: list[str] | None = None) -> dict[str, int]:
+        """Rewrite each tier's day partitions to latest-wins rows only,
+        dropping superseded snapshot versions (the live-store analog of
+        the batch pipeline's compaction: without it a long-running
+        daemon accumulates one full snapshot of every still-open window
+        per flush tick, unbounded).
+
+        Each tier becomes one dynamic-partition-overwrite job: the
+        latest-wins rows are restamped with ONE fresh flush_seq and
+        replace every day partition they cover (every stored day has at
+        least one surviving row, so no partition is orphaned).  A later
+        flush stamps a higher flush_seq and still wins;
+        ``read_tier_latest`` output is unchanged by construction.  The
+        per-partition replace is the same idempotent primitive the
+        sealed pipeline uses — a crash mid-job leaves some partitions
+        compacted and some not, both states latest-wins-correct.
+
+        Returns {tier: rows written}.  Runs under the store lock, so
+        in-process streaming flushes queue behind it.
+        """
+        from logtrics_spark.plans.pipeline import _day
+
+        with self._store_lock:
+            if not self.io.exists("tiers"):
+                return {}
+            tiers = tiers or self.io.list_partitions("tiers", "tier")
+            counts: dict[str, int] = {}
+            for t in tiers:
+                latest = self.read_tier_latest(t).localCheckpoint()
+                out = (
+                    latest.withColumn("day", _day("window_start"))
+                    .withColumn("tier", F.lit(t))
+                    .withColumn("flush_seq", F.lit(self._next_flush_seq()))
+                )
+                self.io.write_partitioned(out, "tiers", ["tier", "day"])
+                counts[t] = latest.count()
+            self._flushes_since_compact = 0
+            return counts
+
+    def archive_closed_days(self, job, before_day: str | None = None) -> dict:
+        """Seal CLOSED days of the live store into a RollupJob's
+        archival store (tiers + Gorilla chunks + lineage), then drop
+        them from the live head — the daemon owns the open day, the
+        batch pipeline owns sealed history; without this handoff they
+        are disjoint stores a user must reconcile by hand.
+
+        ``before_day`` ('yyyy-MM-dd'): archive days strictly before it;
+        defaults to the day of the store's newest window (the open day),
+        which assumes event time is roughly monotonic — pass an explicit
+        watermark when late data may still arrive for older days.
+
+        Order matters for crash-safety: archive writes + lineage seals
+        land FIRST (idempotent — a replay overwrites identical
+        partitions), live-store drops happen strictly after, so a crash
+        in between leaves the day readable in both stores rather than
+        in neither.  Returns the per-tier sealed-unit counts.
+        """
+        from logtrics_spark.plans.pipeline import _day
+
+        if job.tiers[0] != self.tier:
+            raise ValueError(
+                f"archive job's finest tier {job.tiers[0]!r} must match "
+                f"the daemon's streamed tier {self.tier!r}"
+            )
+        with self._store_lock:
+            if not self.io.exists(f"tiers/tier={self.tier}"):
+                return {}
+            if before_day is None:
+                newest = (
+                    self.io.read(f"tiers/tier={self.tier}")
+                    .agg(F.max(_day("window_start")))
+                    .collect()[0][0]
+                )
+                before_day = newest
+            closed = self.read_tier_latest().where(_day("window_start") < before_day)
+            if closed.isEmpty():
+                return {}
+            stats = job.seal_from_fine(closed)
+            for t in self.io.list_partitions("tiers", "tier"):
+                for day in self.io.list_partitions(f"tiers/tier={t}", "day"):
+                    if day < before_day:
+                        self.io.drop_partition(f"tiers/tier={t}", day=day)
+            return stats
 
     # -------------------------------------------------------- cascading
     def cascade_tiers(self, tiers: list[str] | None = None) -> dict[str, int]:

@@ -305,6 +305,80 @@ class RollupJob:
                 df.unpersist()
         return stats
 
+    def seal_from_fine(self, fine: DataFrame, run_id: str | None = None) -> dict[str, int]:
+        """Archive externally-computed finest-tier rows (the daemon's
+        closed days, ``Daemon.archive_closed_days``): cascade to every
+        configured tier, land all tier rows in one clustered write and
+        all Gorilla chunks in a second (the run() phase-2 shape), then
+        append lineage seals in tier order.
+
+        ``fine`` must carry finest-tier rollup rows (KEY + window_start
+        + the aggregate columns).  Idempotent like run(): a replay
+        overwrites the same (tier, day) partitions with identical bytes
+        and the duplicate lineage rows resolve latest-wins.  Returns
+        {tier: sealed (source, day) units}.
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        stats: dict[str, int] = {t: 0 for t in self.tiers}
+        cached: list[DataFrame] = []
+        try:
+            prev = fine.withColumn("day", _day("window_start")).persist()
+            cached.append(prev)
+            frames: list[tuple[str, DataFrame]] = [(self.tiers[0], prev)]
+            for i, tier in enumerate(self.tiers[1:], start=1):
+                cur = (
+                    cascade(prev.drop("day"), self.tiers[i - 1], tier)
+                    .withColumn("day", _day("window_start"))
+                    .persist()
+                )
+                cached.append(cur)
+                frames.append((tier, cur))
+                prev = cur
+
+            all_tiers = None
+            for tier, tdf, in frames:
+                t = tdf.withColumn("tier", F.lit(tier))
+                all_tiers = t if all_tiers is None else all_tiers.unionByName(t)
+            all_chunks = (
+                compress_tier(
+                    all_tiers.drop("day"), self.tiers[0], chunk_span="1d",
+                    value_cols=self.chunk_value_cols, extra_keys=["tier"],
+                )
+                .withColumn("day", _day("chunk_start"))
+                .persist()
+            )
+            cached.append(all_chunks)
+            self.io.write_partitioned(all_tiers, "tiers", ["tier", "day"])
+            self.io.write_partitioned(all_chunks, "chunks", ["tier", "day"])
+
+            lin = (
+                all_chunks.groupBy("tier", "source", "chunk_start")
+                .agg(F.count("*").alias("row_count"), F.sum("n_points").alias("point_count"))
+                .collect()
+            )
+            for tier, _tdf in frames:
+                rows = [r for r in lin if r["tier"] == tier]
+                self.io.append_lineage(
+                    [
+                        {
+                            "tier": tier,
+                            "source": r["source"],
+                            "window_start": r["chunk_start"],
+                            "input_partitions": ["daemon-live-store"],
+                            "row_count": r["row_count"],
+                            "point_count": r["point_count"],
+                            "sealed": True,
+                            "run_id": run_id,
+                        }
+                        for r in rows
+                    ]
+                )
+                stats[tier] = len({(r["source"], _day_str(r["chunk_start"])) for r in rows})
+        finally:
+            for df in cached:
+                df.unpersist()
+        return stats
+
     # --------------------------------------------------------- retention
     def retention(self) -> list[tuple[str, str]]:
         """Drop raw (source, day) partitions covered by seals in ALL tiers."""

@@ -9,7 +9,8 @@ on arrival — the alert path a log-monitoring daemon (the reference's
 domain) runs against its own metrics.
 
 Composition mirrors ``ewma_stream``: one stateful operator per query,
-fed from the continuously-maintained tier table:
+fed from the continuously-maintained tier table (the ``alerts`` CLI resolves snapshot-flush stores
+latest-wins before scoring, so daemon stores go through it):
 
     point stream -> rollup_stream/write_tier_stream -> tier store
     tier store (readStream) -> zscore_stream -> scored rows
@@ -35,9 +36,9 @@ window over a 1m tier), never by stream length.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -89,33 +90,57 @@ def zscore_stream(
             return
         pdf = pdf.sort_values("window_start", kind="stable")
         if state.exists:
-            ws_list, vals = state.get
-            ws_list, vals = list(ws_list), list(vals)
+            prev_ws, prev_vals = state.get
+            prev_ws = np.asarray(prev_ws, dtype=np.int64)
+            prev_vals = np.asarray(prev_vals, dtype=np.float64)
         else:
-            ws_list, vals = [], []
+            prev_ws = np.empty(0, dtype=np.int64)
+            prev_vals = np.empty(0, dtype=np.float64)
         epochs = (
             pdf["window_start"].astype("datetime64[s]").astype("int64").to_numpy()
         )
         series_vals = pdf[value_col].astype("float64").to_numpy()
-        zs: list[float | None] = []
-        for ws, v in zip(epochs, series_vals):
-            ws_list.append(int(ws))
-            vals.append(float(v))
-            lo = ws - window_seconds + 1
-            while ws_list and ws_list[0] < lo:
-                ws_list.pop(0)
-                vals.pop(0)
-            n = len(vals)
-            if n < 2:
-                zs.append(None)
-                continue
-            mean = sum(vals) / n
-            var = sum((x - mean) ** 2 for x in vals) / (n - 1)
-            sd = math.sqrt(var)
-            if math.isnan(sd) or sd <= min_stddev:
-                zs.append(None)
-            else:
-                zs.append((v - mean) / sd)
+
+        # Vectorized trailing-window stats: all window sums come from
+        # prefix sums over the (carried state ++ batch) arrays; each new
+        # slot's window is [searchsorted(ws_i - W + 1), slot] since ws
+        # is nondecreasing.  NaN samples are excluded from the prefix
+        # sums and tracked by a prefix COUNT instead — a plain cumsum
+        # would let one NaN poison every later window even after the
+        # NaN slot slides out.  Values are shifted by the array mean
+        # before squaring so the (sum_sq - sum^2/n) variance stays
+        # well-conditioned (variance is shift-invariant).
+        all_ws = np.concatenate([prev_ws, epochs])
+        all_vals = np.concatenate([prev_vals, series_vals])
+        k = len(epochs)
+        m = len(prev_ws)
+        nan_mask = np.isnan(all_vals)
+        finite = all_vals[~nan_mask]
+        shift = finite.mean() if len(finite) else 0.0
+        shifted = np.where(nan_mask, 0.0, all_vals - shift)
+        cs = np.concatenate([[0.0], np.cumsum(shifted)])
+        cs2 = np.concatenate([[0.0], np.cumsum(shifted * shifted)])
+        cbad = np.concatenate([[0], np.cumsum(nan_mask)])
+        lo = np.searchsorted(all_ws, epochs - window_seconds + 1, side="left")
+        hi = m + np.arange(k) + 1  # exclusive end: each new slot itself
+        n = hi - lo
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = cs[hi] - cs[lo]
+            s2 = cs2[hi] - cs2[lo]
+            # clamp: rounding can leave a tiny negative where the true
+            # variance is 0 (constant window) — the sd<=min_stddev null
+            # guard must still fire, not sqrt(-eps)=NaN
+            var = np.maximum((s2 - s * s / n) / (n - 1), 0.0)
+            sd = np.sqrt(var)
+            z = ((series_vals - shift) - s / n) / sd
+        null = (
+            (n < 2)
+            | ((cbad[hi] - cbad[lo]) > 0)
+            | np.isnan(sd)
+            | (sd <= min_stddev)
+        )
+        z_out = pd.Series(z).astype("Float64")
+        z_out[null] = pd.NA
         out = pd.DataFrame(
             {
                 "source": key[0],
@@ -126,10 +151,12 @@ def zscore_stream(
                 # nullable Float64 so None stays a true null through
                 # Arrow (a float64 ndarray would turn None into NaN,
                 # which Spark treats as a value, not null)
-                "z": pd.array(zs, dtype="Float64"),
+                "z": z_out.values,
             }
         )
-        state.update((ws_list, vals))
+        # carried state = the last slot's trailing window
+        keep = int(np.searchsorted(all_ws, epochs[-1] - window_seconds + 1, side="left"))
+        state.update((all_ws[keep:].tolist(), all_vals[keep:].tolist()))
         yield out
 
     return (

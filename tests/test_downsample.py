@@ -78,3 +78,20 @@ def test_spark_lttb_drops_nulls_and_small_series_pass_through(spark):
     assert sorted(got["avg"]) == [1.0, 3.0, 4.0]
     with pytest.raises(ValueError):
         lttb(df, "avg", 2)
+
+
+def test_lttb_honors_custom_key(spark):
+    """ADVICE r3: key=["source"] must drive both the grouping AND the
+    output schema — inputs without metric/kind columns work."""
+    import pandas as _pd
+
+    pdf = _pd.DataFrame(
+        {
+            "source": ["a"] * 20,
+            "window_start": _pd.date_range("2024-01-01", periods=20, freq="min"),
+            "v": [float(i % 7) for i in range(20)],
+        }
+    )
+    out = lttb(spark.createDataFrame(pdf), "v", n_out=6, key=["source"])
+    assert out.columns == ["source", "window_start", "v"]
+    assert out.count() == 6

@@ -104,3 +104,22 @@ def test_validation(spark):
     gappy = _tier(spark, [1.0, 2.0, 3.0]).where("minute(window_start) != 0 or hour(window_start) != 1")
     with pytest.raises(Exception, match="dense|PythonException"):
         holt_winters(gappy, "1h", season_seconds=7200).collect()
+
+
+def test_holt_winters_honors_custom_key(spark):
+    """ADVICE r3: key=["source"] must drive grouping and output schema."""
+    import pandas as _pd
+
+    pdf = _pd.DataFrame(
+        {
+            "source": ["a"] * 12,
+            "window_start": _pd.date_range("2024-01-01", periods=12, freq="h"),
+            "avg": [float(i % 4) for i in range(12)],
+        }
+    )
+    out = holt_winters(
+        spark.createDataFrame(pdf), "1h", season_seconds=4 * 3600, key=["source"]
+    ).orderBy("window_start")
+    assert out.columns[:2] == ["source", "window_start"]
+    rows = out.collect()
+    assert len(rows) == 12 and rows[0]["forecast"] is None

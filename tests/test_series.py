@@ -389,3 +389,17 @@ def test_as_percent_shares_sum_to_100(spark):
     # zero total -> null share, not a division blowup
     z = as_percent(_tier(spark, [("a", 0, 0), ("b", 0, 0)]), "val")
     assert all(r["pct_val"] is None for r in z.collect())
+
+
+def test_as_percent_nan_total_does_not_poison_window(spark):
+    """ADVICE r3: NaN != 0 is TRUE under Spark's NaN ordering, so one
+    NaN sample must not turn every series' share NaN — the NaN sample
+    is excluded from the total and its own share is null."""
+    from logtrics_spark.operators.series import as_percent
+
+    df = _tier(spark, [("a", 0, 1), ("b", 0, 3), ("c", 0, float("nan"))])
+    out = as_percent(df, "val")
+    got = {r["source"]: r["pct_val"] for r in out.collect()}
+    assert got["a"] == pytest.approx(25.0)
+    assert got["b"] == pytest.approx(75.0)
+    assert got["c"] is None

@@ -440,3 +440,41 @@ def test_cosine_topk_ignores_nan_and_zero_vectors(spark):
     assert [r["id"] for r in got] == [2, 4] or [r["id"] for r in got] == [2]
     # id=3 (NaN) must never appear, and no returned cosine is NaN
     assert all(r["id"] != 3 and not math.isnan(r["cosine"]) for r in got)
+
+
+def test_dedup_groups_raises_when_unconverged(spark):
+    """ADVICE r3: exiting the label-propagation loop while labels are
+    still moving must be an error, not silently-wrong group ids."""
+    import pytest as _pytest
+
+    from logtrics_spark.operators.dedup import dedup_groups
+
+    # a 5-node chain needs ~4 propagation rounds; cap at 1
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 4], "id_b": [2, 3, 4, 5]})
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_groups(pairs, max_iter=1)
+
+
+def test_train_centroids_samples_across_partitions(spark):
+    """ADVICE r3: the centroid training sample must be a seeded sample
+    over ALL partitions, not limit()'s first-partition slice — two
+    well-separated clusters living in different partitions must both
+    be represented."""
+    import numpy as np
+
+    from logtrics_spark.operators.similarity import train_centroids
+
+    # partition 0: tight cluster at +10, partition 1: tight cluster at -10
+    rng = np.random.default_rng(7)
+    a = rng.normal(10.0, 0.1, size=(400, 4))
+    b = rng.normal(-10.0, 0.1, size=(400, 4))
+    pdf = pd.DataFrame({"embedding": [list(v) for v in np.vstack([a, b])]})
+    # force the two clusters into separate partitions deterministically
+    df = spark.createDataFrame(pdf.iloc[:400]).coalesce(1).unionAll(
+        spark.createDataFrame(pdf.iloc[400:]).coalesce(1)
+    )
+    cents = train_centroids(df, n_centroids=2, sample_rows=100, seed=3)
+    signs = sorted(np.sign(cents.mean(axis=1)))
+    assert signs == [-1.0, 1.0], f"both clusters must be sampled, got {cents.mean(axis=1)}"
