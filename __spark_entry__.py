@@ -878,6 +878,152 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+HW_INPUT_DUMP = "/tmp/spark_graft_hw_input"
+HW_EXPECTED_DUMP = "/tmp/spark_graft_hw_expected.parquet"
+LTTB_INPUT_DUMP = "/tmp/spark_graft_lttb_input"
+LTTB_EXPECTED_DUMP = "/tmp/spark_graft_lttb_expected.parquet"
+
+
+def _read_dump_pdf(path: str):
+    """Driver-side read of a Spark parquet dump via DuckDB (skips
+    _SUCCESS markers; same decoder the oracle SQL uses)."""
+    import duckdb
+
+    return duckdb.sql(f"SELECT * FROM read_parquet('{path}/*.parquet')").df()
+
+
+def q_holtwinters_1h(spark, sf_dir):
+    """Holt-Winters seasonal forecast/bands/aberration over the dense
+    1h gauge series (Graphite's holtWinters* trio).
+
+    Oracle pattern (the tokseq side-channel, VERDICT r3 #1): the dense
+    input (1h rollup -> linear gapfill) is dumped to parquet; BOTH
+    engines consume those bytes.  Spark runs the applyInPandas operator;
+    the driver runs the pure-Python reference fold (holtwinters.py
+    ``holt_winters_fold``, independently pinned by differential tests)
+    single-threaded over the same bytes and dumps the expected rows for
+    the oracle SQL to read back — so the check proves the distributed
+    grouping/ordering/null plumbing reproduces the sequential fold
+    exactly.  The recurrence is contractive (alpha=0.1), so identical
+    input bytes give identical IEEE doubles on both sides.
+    """
+    import pandas as pd
+
+    from logtrics_spark.operators.gapfill import gapfill
+    from logtrics_spark.operators.holtwinters import holt_winters, holt_winters_fold
+    from logtrics_spark.operators.rollup import rollup
+
+    r = rollup(_events_points(spark, sf_dir), "1h")
+    dense = gapfill(r, "1h", method="linear", value_cols=["avg"])
+    (
+        dense.select(
+            "source", "metric", "kind",
+            F.unix_timestamp("window_start").cast("long").alias("es"), "avg",
+        )
+        .write.mode("overwrite")
+        .parquet(HW_INPUT_DUMP)
+    )
+
+    # driver-side reference fold over the same bytes -> expected parquet
+    m, delta = 24, 3.0
+    pdf = _read_dump_pdf(HW_INPUT_DUMP)
+    parts = []
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values("es").reset_index(drop=True)
+        vals = [None if pd.isna(v) else float(v) for v in g["avg"]]
+        fc, dv = holt_winters_fold(vals, m)
+        ab = []
+        for v, f, d in zip(vals, fc, dv):
+            if v is None or f is None or d is None:
+                ab.append(None)
+            elif v > f + delta * d:
+                ab.append(v - (f + delta * d))
+            elif v < f - delta * d:
+                ab.append(v - (f - delta * d))
+            else:
+                ab.append(0.0)
+        parts.append(
+            pd.DataFrame(
+                {
+                    "source": src,
+                    "ws": g["es"].astype("int64"),
+                    "avg": pd.array(vals, dtype="Float64"),
+                    "forecast": pd.array(fc, dtype="Float64"),
+                    "dev": pd.array(dv, dtype="Float64"),
+                    "aberration": pd.array(ab, dtype="Float64"),
+                }
+            )
+        )
+    pd.concat(parts, ignore_index=True).to_parquet(HW_EXPECTED_DUMP, index=False)
+
+    back = spark.read.parquet(HW_INPUT_DUMP).select(
+        "source", "metric", "kind",
+        F.timestamp_seconds("es").alias("window_start"), "avg",
+    )
+    hw = holt_winters(back, "1h", value_col="avg", season_seconds=m * 3600, delta=delta)
+    return hw.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("avg", 6).alias("avg"),
+        _q("forecast", 6).alias("forecast"),
+        _q("dev", 6).alias("dev"),
+        _q("aberration", 6).alias("aberration"),
+    )
+
+
+def q_lttb_1m(spark, sf_dir):
+    """LTTB downsampling of the 1m tier to ~200 visually-representative
+    points per series (dashboard read path).
+
+    Same side-channel oracle as holtwinters_1h: the 1m input is dumped
+    to parquet, Spark selects via the grouped-map operator, the driver
+    runs the pure-numpy ``lttb_fold`` (pinned by its own differential
+    tests) over the same bytes — index selection (argmax ties included)
+    is bit-deterministic, so the selected rows must agree exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from logtrics_spark.operators.downsample import lttb, lttb_fold
+    from logtrics_spark.operators.rollup import rollup
+
+    n_out = 200
+    r = rollup(_events_points(spark, sf_dir), "1m")
+    (
+        r.select(
+            "source", "metric", "kind",
+            F.unix_timestamp("window_start").cast("long").alias("es"), "avg",
+        )
+        .write.mode("overwrite")
+        .parquet(LTTB_INPUT_DUMP)
+    )
+
+    pdf = _read_dump_pdf(LTTB_INPUT_DUMP)
+    parts = []
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values("es").reset_index(drop=True)
+        idx = lttb_fold(
+            g["es"].to_numpy(dtype="int64"), g["avg"].to_numpy(dtype="float64"), n_out
+        )
+        sel = g.iloc[np.asarray(idx)]
+        parts.append(
+            pd.DataFrame(
+                {"source": src, "ws": sel["es"].astype("int64"), "avg": sel["avg"]}
+            )
+        )
+    pd.concat(parts, ignore_index=True).to_parquet(LTTB_EXPECTED_DUMP, index=False)
+
+    back = spark.read.parquet(LTTB_INPUT_DUMP).select(
+        "source", "metric", "kind",
+        F.timestamp_seconds("es").alias("window_start"), "avg",
+    )
+    return lttb(back, "avg", n_out=n_out).select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("avg", 6).alias("avg"),
+    )
+
+
 # ---------------------------------------------------------------- driver
 
 
@@ -956,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokseq_tiers_arrow": q_tokseq_tiers_arrow,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "multimodal_features": q_multimodal_features,
+        "holtwinters_1h": q_holtwinters_1h,
+        "lttb_1m": q_lttb_1m,
     }
 
 
@@ -1502,6 +1650,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'video' END AS modality,
                    CAST(64 + (i % 5) * 32 AS BIGINT) AS n_bytes
             FROM generate_series(0, 199) t(i)
+        """,
+        # side-channel expected rows: the pure-Python/numpy reference
+        # folds (holt_winters_fold / lttb_fold) run single-threaded on
+        # the driver over the SAME dumped input bytes the Spark
+        # operators consume (written by q_holtwinters_1h / q_lttb_1m)
+        "holtwinters_1h": f"""
+            SELECT source, ws,
+                   {_qsql('avg', 6)} AS avg,
+                   {_qsql('forecast', 6)} AS forecast,
+                   {_qsql('dev', 6)} AS dev,
+                   {_qsql('aberration', 6)} AS aberration
+            FROM read_parquet('{HW_EXPECTED_DUMP}')
+        """,
+        "lttb_1m": f"""
+            SELECT source, ws, {_qsql('avg', 6)} AS avg
+            FROM read_parquet('{LTTB_EXPECTED_DUMP}')
         """,
     }
     return sqls

@@ -101,6 +101,8 @@ def main() -> None:
         "anomaly_zscore_1h",
         "topk_sources_1h",
         "distinct_users_1h",
+        "holtwinters_1h",
+        "lttb_1m",
     ]:
         # best-of-2: the shared host shows episodic CPU-steal bursts
         # (BENCH/BASELINE.md caveat); noise only ever adds time, so the

@@ -1,0 +1,69 @@
+"""Plan-invariant sweep over EVERY driver query (VERDICT r3 #7).
+
+test_plan_quality.py locks detailed plan shapes for the headline
+queries; this sweep asserts the coarse scale rules for all 50
+__spark_entry__ queries so a regression anywhere (a Python UDF sneaking
+into a native path, an accidental cross join) fails CI, not the 100 TB
+run:
+
+- no CartesianProduct, ever;
+- BroadcastNestedLoopJoin only in the one declared brute-force
+  baseline (similarity_topk broadcasts the query side by design — the
+  scale path is similarity_ivf/_store);
+- no row-at-a-time BatchEvalPython, ever (Arrow or nothing);
+- Arrow/grouped-map Python stages only in the declared sequential-fold
+  / vector operators — everything else stays whole-JVM.
+"""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose semantics REQUIRE a Python stage (sequential folds,
+# vector math) — all Arrow-batched; adding a query here is a design
+# decision, not a fix
+PY_ALLOWED = {
+    "meter_ewma_1h": {"FlatMapGroupsInPandas"},  # EWMA recurrence fold
+    "similarity_ivf": {"ArrowEvalPython"},  # centroid-assign pandas_udf
+    "similarity_ivf_store": {"ArrowEvalPython"},
+    "embedding_dupes": {"ArrowEvalPython"},  # hyperplane-signature matmul
+    "gorilla_roundtrip": {"FlatMapGroupsInPandas", "MapInPandas"},  # codec
+    "multimodal_features": {"MapInPandas"},  # decode seam
+    "holtwinters_1h": {"FlatMapGroupsInPandas"},  # seasonal fold
+    "lttb_1m": {"FlatMapGroupsInPandas"},  # bucket selection fold
+    "tokseq_tiers_arrow": {"MapInPandas", "ArrowEvalPython"},  # declared Arrow variant
+}
+NLJ_ALLOWED = {"similarity_topk"}
+
+PY_MARKERS = (
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "FlatMapGroupsInPandasWithState",
+)
+
+
+def _plans(spark):
+    import __spark_entry__ as entrymod
+
+    for name, fn in entrymod.queries().items():
+        yield name, fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_all_driver_queries_hold_plan_invariants(spark):
+    violations = []
+    seen = 0
+    for name, plan in _plans(spark):
+        seen += 1
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in NLJ_ALLOWED:
+            violations.append(f"{name}: BroadcastNestedLoopJoin (undeclared)")
+        if "BatchEvalPython" in plan:
+            violations.append(f"{name}: row-at-a-time BatchEvalPython")
+        py = {m for m in PY_MARKERS if m in plan}
+        extra = py - PY_ALLOWED.get(name, set())
+        if extra:
+            violations.append(f"{name}: undeclared Python stages {sorted(extra)}")
+    assert seen >= 50, f"query registry shrank to {seen}"
+    assert not violations, "\n".join(violations)
