@@ -1024,6 +1024,55 @@ def q_lttb_1m(spark, sf_dir):
     )
 
 
+def q_sessions_30m(spark, sf_dir):
+    """Inactivity-gap sessionization of the event stream per user
+    (operators/sessions.py): 30-minute silence starts a new visit.
+    Gap decisions are exact integer µs on both engines, so the lag +
+    running-sum formulation hashes identically in DuckDB.
+    """
+    from logtrics_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    s = session_stats(ev, ["user_id"], gap_seconds=1800)
+    return s.select(
+        "user_id",
+        "session_idx",
+        "start_us",
+        "end_us",
+        "n_events",
+        _q("duration_s", 6).alias("duration_s"),
+    )
+
+
+def q_tdigest_1h(spark, sf_dir):
+    """Mergeable quantile-sketch tiers (operators/tdigest.py): points ->
+    1m t-digest rollup -> sketch-merge cascade to 1h.
+
+    Percentile ESTIMATES are approximate by design (rank-error envelope
+    pinned in tests/test_tdigest.py); what the oracle hash-checks is the
+    sketch pipeline's conservation law — total weight and min/max
+    endpoints survive partial build + merge + cascade exactly, i.e.
+    every raw point is routed once through the two-stage shuffle.
+    DuckDB computes the same count/min/max directly from events.
+    """
+    from logtrics_spark.operators.tdigest import (
+        tdigest_cascade,
+        tdigest_rollup,
+        tdigest_stats,
+    )
+
+    pts = _events_points(spark, sf_dir)
+    fine = tdigest_rollup(pts, "1m")
+    hour = tdigest_cascade(fine, "1m", "1h")
+    return tdigest_stats(hour).select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "cnt",
+        _q("min", 4).alias("min_val"),
+        _q("max", 4).alias("max_val"),
+    )
+
+
 # ---------------------------------------------------------------- driver
 
 
@@ -1104,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "holtwinters_1h": q_holtwinters_1h,
         "lttb_1m": q_lttb_1m,
+        "sessions_30m": q_sessions_30m,
+        "tdigest_1h": q_tdigest_1h,
     }
 
 
@@ -1666,6 +1717,37 @@ def oracle_sql() -> dict[str, str]:
         "lttb_1m": f"""
             SELECT source, ws, {_qsql('avg', 6)} AS avg
             FROM read_parquet('{LTTB_EXPECTED_DUMP}')
+        """,
+        # identical lag + running-sum formulation; integer-µs gap compare
+        "sessions_30m": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            m AS (
+              SELECT user_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            s AS (
+              SELECT user_id, us,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM m)
+            SELECT user_id, session_idx,
+                   CAST(min(us) AS BIGINT) AS start_us,
+                   CAST(max(us) AS BIGINT) AS end_us,
+                   count(*) AS n_events,
+                   {_qsql('(max(us) - min(us)) / 1000000.0', 6)} AS duration_s
+            FROM s GROUP BY user_id, session_idx
+        """,
+        # sketch conservation law: weight/min/max through build+merge+
+        # cascade == direct exact aggregates (see q_tdigest_1h)
+        "tdigest_1h": f"""
+            SELECT event_type AS source,
+                   CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                   count(*) AS cnt,
+                   {_qsql('min(value)', 4)} AS min_val,
+                   {_qsql('max(value)', 4)} AS max_val
+            FROM events GROUP BY 1, 2
         """,
     }
     return sqls

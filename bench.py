@@ -103,6 +103,8 @@ def main() -> None:
         "distinct_users_1h",
         "holtwinters_1h",
         "lttb_1m",
+        "sessions_30m",
+        "tdigest_1h",
     ]:
         # best-of-2: the shared host shows episodic CPU-steal bursts
         # (BENCH/BASELINE.md caveat); noise only ever adds time, so the

@@ -32,6 +32,8 @@ PY_ALLOWED = {
     "holtwinters_1h": {"FlatMapGroupsInPandas"},  # seasonal fold
     "lttb_1m": {"FlatMapGroupsInPandas"},  # bucket selection fold
     "tokseq_tiers_arrow": {"MapInPandas", "ArrowEvalPython"},  # declared Arrow variant
+    # sketch pipeline: map-side partial digests + merge + estimate UDF
+    "tdigest_1h": {"MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"},
 }
 NLJ_ALLOWED = {"similarity_topk"}
 
