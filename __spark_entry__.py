@@ -1044,6 +1044,26 @@ def q_sessions_30m(spark, sf_dir):
     )
 
 
+def q_sessions_30m_bucketed(spark, sf_dir):
+    """The hot-key scale path (sessionize within (key, 6h bucket) +
+    stitch across edges) against the SAME oracle SQL as sessions_30m —
+    bucketing must be an execution strategy, not a semantics change."""
+    from logtrics_spark.operators.sessions import session_stats_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    s = session_stats_bucketed(
+        ev, ["user_id"], gap_seconds=1800, bucket_seconds=21600
+    )
+    return s.select(
+        "user_id",
+        "session_idx",
+        "start_us",
+        "end_us",
+        "n_events",
+        _q("duration_s", 6).alias("duration_s"),
+    )
+
+
 def q_tdigest_1h(spark, sf_dir):
     """Mergeable quantile-sketch tiers (operators/tdigest.py): points ->
     1m t-digest rollup -> sketch-merge cascade to 1h.
@@ -1154,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holtwinters_1h": q_holtwinters_1h,
         "lttb_1m": q_lttb_1m,
         "sessions_30m": q_sessions_30m,
+        "sessions_30m_bucketed": q_sessions_30m_bucketed,
         "tdigest_1h": q_tdigest_1h,
     }
 
@@ -1750,6 +1771,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
     }
+    # the bucketed scale path must satisfy the IDENTICAL oracle —
+    # bucketing is an execution strategy, not a semantics change
+    sqls["sessions_30m_bucketed"] = sqls["sessions_30m"]
     return sqls
 
 

@@ -21,15 +21,16 @@ Scale: per-key data is small by construction (a user's events, not the
 firehose), so the window sort is cheap and parallelism = #keys.  For a
 pathological hot key (one key owning a large fraction of 100 TB),
 salting is NOT applicable — sessionization needs the key's full
-timeline in order.  The production pattern is two-phase: sessionize
-within (key, day) buckets, then stitch sessions that span the boundary
-by joining each day's last session to the next day's first (both
-day-edge row sets are tiny).  This module implements the in-bucket
-phase; stitching composes from a self-join of `session_stats` edges.
+timeline in order.  The production pattern is two-phase and implemented
+here as ``session_stats_bucketed``: sessionize within (key, bucket) —
+the heavy exchange gains a time dimension, so one dominant key still
+parallelizes — then ``stitch_sessions`` merges runs across bucket
+edges over SESSION rows only (orders of magnitude smaller than
+events); output is row-identical to the direct computation (tested).
 
-Streaming analog: Structured Streaming's session_window(ts, gap) — the
-batch formulation here matches its assignment rule, so a live daemon
-can maintain the same sessions incrementally.
+Streaming analog: ``streaming/session_stream.py`` wraps Structured
+Streaming's native session_window(ts, gap) with the same output
+schema, so a live daemon maintains the same sessions incrementally.
 """
 
 from __future__ import annotations
@@ -90,3 +91,72 @@ def session_stats(
         F.count("*").alias("n_events"),
         ((F.max(us) - F.min(us)) / F.lit(1_000_000.0)).alias("duration_s"),
     )
+
+
+def stitch_sessions(
+    stats: DataFrame,
+    key: list[str],
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Merge session runs whose inter-session gap is within the
+    threshold — the boundary-stitch phase for bucketed sessionization.
+
+    Input: `session_stats`-shaped rows (possibly computed per time
+    bucket, so a visit crossing a bucket edge appears as 2+ rows).
+    This is sessionize-over-sessions: one window pass per key over
+    SESSION rows (tiny vs events), lag on end_us, running sum of
+    new-run flags, then re-aggregate.  Chains spanning several buckets
+    merge transitively, and ``session_idx`` is renumbered in global
+    time order — identical output to un-bucketed `session_stats`.
+    """
+    gap_us = gap_seconds * 1_000_000
+    w = Window.partitionBy(*key).orderBy("start_us")
+    prev_end = F.lag("end_us").over(w)
+    is_new = F.when(
+        prev_end.isNull() | ((F.col("start_us") - prev_end) > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy(*key).orderBy("start_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = stats.withColumn("session_idx", F.sum(is_new).over(run))
+    return merged.groupBy(*key, "session_idx").agg(
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+        F.sum("n_events").alias("n_events"),
+        ((F.max("end_us") - F.min("start_us")) / F.lit(1_000_000.0)).alias(
+            "duration_s"
+        ),
+    )
+
+
+def session_stats_bucketed(
+    df: DataFrame,
+    key: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """The 100 TB sessionization path: sessionize within (key, bucket)
+    then stitch across bucket edges.
+
+    The plain `session_stats` exchanges on the key alone — correct, but
+    a hot key serializes its entire timeline through one task.  Here
+    the heavy phase exchanges on (key, bucket), so parallelism scales
+    with time even for one dominant key; the stitch phase then runs
+    over SESSION rows only (orders of magnitude smaller than events).
+    Output is row-identical to `session_stats` (tested) — bucketing is
+    an execution strategy, not a semantics change.
+    """
+    if bucket_seconds <= gap_seconds:
+        raise ValueError(
+            f"bucket_seconds {bucket_seconds} must exceed gap_seconds "
+            f"{gap_seconds} (otherwise sessions can span non-adjacent buckets)"
+        )
+    bucket = (_us(ts_col) / F.lit(bucket_seconds * 1_000_000)).cast("long")
+    per_bucket = session_stats(
+        df.withColumn("_bucket", bucket),
+        [*key, "_bucket"],
+        ts_col=ts_col,
+        gap_seconds=gap_seconds,
+    ).drop("_bucket")
+    return stitch_sessions(per_bucket, key, gap_seconds=gap_seconds)

@@ -71,3 +71,88 @@ def test_microsecond_precision_boundary(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         sessionize(None, ["user_id"], gap_seconds=0)
+
+
+def test_bucketed_equals_direct(spark):
+    """session_stats_bucketed (the hot-key scale path) must be
+    row-identical to the direct computation — including sessions that
+    span one and two bucket edges."""
+    import pandas as pd
+
+    from logtrics_spark.operators.sessions import session_stats_bucketed
+
+    rows = []
+    # user 1: a session spanning the 3600s bucket edge, plus an
+    # isolated later session
+    rows += [(1, s) for s in (3500, 3550, 3650, 9000)]
+    # user 2: continuous activity every 200s across TWO bucket edges
+    rows += [(2, s) for s in range(3000, 11000, 200)]
+    # user 3: single event
+    rows += [(3, 42)]
+    df = _events(spark, rows)
+
+    direct = (
+        session_stats(df, ["user_id"], gap_seconds=300)
+        .orderBy("user_id", "session_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    bucketed = (
+        session_stats_bucketed(
+            df, ["user_id"], gap_seconds=300, bucket_seconds=3600
+        )
+        .orderBy("user_id", "session_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        bucketed[direct.columns.tolist()], direct, check_dtype=False
+    )
+
+
+def test_bucketed_validation(spark):
+    from logtrics_spark.operators.sessions import session_stats_bucketed
+
+    with pytest.raises(ValueError, match="must exceed"):
+        session_stats_bucketed(None, ["user_id"], gap_seconds=600, bucket_seconds=600)
+
+
+def test_session_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window over two micro-batch appends ==
+    batch session_stats (non-boundary gaps; complete output mode)."""
+    from logtrics_spark.streaming.session_stream import session_stream
+
+    ev_dir = str(tmp_path / "events")
+    rows1 = [(1, 0), (1, 100), (2, 50)]
+    rows2 = [(1, 150), (1, 2000), (2, 60)]
+    collected = {}
+
+    def run_pass():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(ev_dir)
+        q = (
+            session_stream(stream, ["user_id"], gap_seconds=300)
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(
+                lambda df, _b: collected.update(
+                    {(r["user_id"], r["start_us"]): r for r in df.collect()}
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _events(spark, rows1).write.mode("append").parquet(ev_dir)
+    run_pass()
+    _events(spark, rows2).write.mode("append").parquet(ev_dir)
+    run_pass()
+
+    batch = session_stats(_events(spark, rows1 + rows2), ["user_id"], gap_seconds=300)
+    exp = {(r["user_id"], r["start_us"]): r for r in batch.collect()}
+    assert set(collected) == set(exp)
+    for k, r in exp.items():
+        got = collected[k]
+        assert got["n_events"] == r["n_events"]
+        assert got["end_us"] == r["end_us"]
+        assert got["duration_s"] == r["duration_s"]
