@@ -23,18 +23,32 @@ window is numpy-speed.  Merging two digests is the same routine over
 the concatenated centroids, making merge associative-up-to-resolution
 and deterministic for a fixed input order.
 
-Execution shape (the aggregateByKey pattern, in Arrow):
+Execution shape — pick by window DENSITY (points per series-window
+relative to partition count), measured, not guessed:
 
-  stage 1  mapInPandas: per input batch, group by (key, window) and
-           emit one PARTIAL digest row — the map-side combine; the
-           shuffle carries kilobyte sketches, never raw values;
-  stage 2  groupBy(key, window).applyInPandas: merge partials.
+  direct (default): groupBy(key, window).collect_list(value) — a plain
+  JVM partial-aggregating shuffle — then ONE ArrowEvalPython pass
+  building a digest per row.  Right whenever windows are modest (a 1m
+  tier at ~dozens-to-thousands of points per window): the r4 bench
+  showed the presketch variant costs 15x more here, because with ~1
+  point per group per input batch the "partial digests" degenerate to
+  one sketch PER POINT and the 80k-group grouped-map pays pandas
+  overhead per group.
+
+  presketch=True: mapInPandas builds partial digests per input batch
+  with a fully-vectorized MULTI-GROUP k-cell pass (one lexsort +
+  reduceat for the whole batch), so the shuffle carries kilobyte
+  sketches instead of raw doubles; partials then merge through the
+  same collect_list + Arrow merge.  Right when single windows are huge
+  (millions of points — a collect_list there would materialize them in
+  one task) — the true aggregateByKey regime.
 
 Estimates interpolate between centroid midpoints with exact min/max
 endpoints; rank error concentrates near q=0.5 and shrinks toward the
-tails (the k1 guarantee).  Estimates depend slightly on how rows were
-batched into partials (like any t-digest pipeline); tests assert rank
-error ≤ 0.02 under adversarial orderings, not bit equality.
+tails (the k1 guarantee).  Presketch estimates depend slightly on how
+rows were batched into partials (like any t-digest pipeline); tests
+assert rank error ≤ 0.02 under adversarial orderings, not bit
+equality, and that both modes agree.
 """
 
 from __future__ import annotations
@@ -142,14 +156,54 @@ def from_bytes(blob: bytes):
 # ------------------------------------------------------------ Spark ops
 
 
-def _sketch_schema(key: list[str], in_fields) -> T.StructType:
-    return T.StructType(
-        [T.StructField(c, in_fields[c].dataType) for c in key]
-        + [
-            T.StructField("window_start", T.TimestampType()),
-            T.StructField("tdigest", T.BinaryType()),
-        ]
-    )
+def _build_many(codes: np.ndarray, values: np.ndarray, compression: float):
+    """Vectorized MULTI-group digest build: one lexsort + one k-cell
+    reduceat over a whole batch; returns (group_code, blob) pairs.
+
+    Per-group work after the vector pass is one C-level slice + header
+    concat — no pandas groupby.apply, no per-point Python.
+    """
+    ok = ~np.isnan(values)
+    codes, values = codes[ok], values[ok]
+    if not len(values):
+        return []
+    order = np.lexsort((values, codes))
+    g, v = codes[order], values[order]
+    gstart = np.empty(len(g), dtype=bool)
+    gstart[0] = True
+    np.not_equal(g[1:], g[:-1], out=gstart[1:])
+    seg_idx = np.flatnonzero(gstart)
+    sizes = np.diff(np.append(seg_idx, len(g)))
+    pos = np.arange(len(g)) - np.repeat(seg_idx, sizes)
+    q_right = (pos + 1.0) / np.repeat(sizes, sizes).astype(np.float64)
+    cells = np.floor(_k(q_right, compression))
+    new_cent = gstart.copy()
+    np.logical_or(new_cent[1:], cells[1:] != cells[:-1], out=new_cent[1:])
+    starts = np.flatnonzero(new_cent)
+    cw = np.diff(np.append(starts, len(g))).astype(np.float64)
+    cm = np.add.reduceat(v, starts) / cw
+    cent_seg = np.searchsorted(starts, seg_idx)  # first centroid per group
+    cent_counts = np.diff(np.append(cent_seg, len(starts)))
+    out = []
+    for gi in range(len(seg_idx)):
+        a, b = cent_seg[gi], cent_seg[gi] + cent_counts[gi]
+        lo = v[seg_idx[gi]]
+        hi = v[seg_idx[gi] + sizes[gi] - 1]
+        out.append((g[seg_idx[gi]], to_bytes(cm[a:b], cw[a:b], lo, hi, compression)))
+    return out
+
+
+def _build_udf(compression: float):
+    @F.pandas_udf(T.BinaryType())
+    def build_rows(vals: pd.Series) -> pd.Series:
+        return pd.Series([build(np.asarray(v, dtype=np.float64), compression) for v in vals])
+
+    return build_rows
+
+
+@F.pandas_udf(T.BinaryType())
+def _merge_udf(blobs: pd.Series) -> pd.Series:
+    return pd.Series([merge([bytes(b) for b in lst]) for lst in blobs])
 
 
 def tdigest_rollup(
@@ -158,61 +212,71 @@ def tdigest_rollup(
     value_col: str = "value",
     key: list[str] | None = None,
     compression: float = DEFAULT_COMPRESSION,
+    presketch: bool = False,
 ) -> DataFrame:
     """Timer tier rows carrying a mergeable t-digest per series-window.
 
-    Two Arrow stages (see module doc): partial digests are built
-    map-side per input batch, so the shuffle moves kilobyte sketches —
-    a 100M-point window never lands on one task as raw doubles.
+    See the module doc for the direct-vs-presketch decision; the
+    shuffle is a plain JVM partial aggregation either way, and the
+    Python stages are whole-batch Arrow passes, never per-group pandas.
     """
     key = key or KEY
     pts = points.withColumn("window_start", window_start(F.col("ts"), tier)).select(
         *key, "window_start", value_col
     )
-    in_fields = {f.name: f for f in pts.schema.fields}
-    schema = _sketch_schema(key, in_fields)
     gcols = [*key, "window_start"]
+    if not presketch:
+        grouped = pts.groupBy(*gcols).agg(F.collect_list(value_col).alias("_vals"))
+        return grouped.withColumn(
+            "tdigest", _build_udf(compression)(F.col("_vals"))
+        ).drop("_vals")
+
+    # presketch: batch-local digests via the vectorized multi-group
+    # build; the group key rides as a dense code per batch
+    in_fields = {f.name: f for f in pts.schema.fields}
+    schema = T.StructType(
+        [T.StructField(c, in_fields[c].dataType) for c in gcols]
+        + [T.StructField("tdigest", T.BinaryType())]
+    )
 
     def partial(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = (
-                pdf.groupby(gcols, sort=False, dropna=False)[value_col]
-                .apply(lambda s: build(s.to_numpy(), compression))
-                .reset_index(name="tdigest")
+            codes, keys = pd.factorize(
+                pd.MultiIndex.from_frame(pdf[gcols]), sort=False
             )
+            pairs = _build_many(
+                codes.astype(np.int64),
+                pdf[value_col].to_numpy(dtype=np.float64),
+                compression,
+            )
+            if not pairs:
+                continue
+            gsel = [keys[c] for c, _ in pairs]
+            out = pd.DataFrame(gsel, columns=gcols)
+            out["tdigest"] = [b for _, b in pairs]
             yield out
 
-    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        head = pdf.iloc[[0]][gcols].reset_index(drop=True)
-        head["tdigest"] = [merge(list(pdf["tdigest"]))]
-        return head
-
     partials = pts.mapInPandas(partial, schema)
-    return partials.groupBy(*gcols).applyInPandas(combine, schema)
+    merged = partials.groupBy(*gcols).agg(F.collect_list("tdigest").alias("_blobs"))
+    return merged.withColumn("tdigest", _merge_udf(F.col("_blobs"))).drop("_blobs")
 
 
 def tdigest_cascade(fine: DataFrame, fine_tier: str, coarse_tier: str) -> DataFrame:
     """Reaggregate digest tiers: merge fine windows' sketches into the
-    coarse window — same shuffle shape as ``cascade``/HLL union, over
-    already-tiny tier rows."""
+    coarse window — one JVM collect_list shuffle over already-tiny tier
+    rows, then a single Arrow merge pass."""
     if tier_seconds(coarse_tier) % tier_seconds(fine_tier) != 0:
         raise ValueError(f"{coarse_tier} is not a multiple of {fine_tier}")
     key = [c for c in fine.columns if c not in ("window_start", "tdigest")]
-    in_fields = {f.name: f for f in fine.schema.fields}
-    schema = _sketch_schema(key, in_fields)
     gcols = [*key, "window_start"]
-
-    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        head = pdf.iloc[[0]][gcols].reset_index(drop=True)
-        head["tdigest"] = [merge(list(pdf["tdigest"]))]
-        return head
-
     return (
         fine.withColumn("window_start", window_start(F.col("window_start"), coarse_tier))
         .groupBy(*gcols)
-        .applyInPandas(combine, schema)
+        .agg(F.collect_list("tdigest").alias("_blobs"))
+        .withColumn("tdigest", _merge_udf(F.col("_blobs")))
+        .drop("_blobs")
     )
 
 

@@ -32,8 +32,9 @@ PY_ALLOWED = {
     "holtwinters_1h": {"FlatMapGroupsInPandas"},  # seasonal fold
     "lttb_1m": {"FlatMapGroupsInPandas"},  # bucket selection fold
     "tokseq_tiers_arrow": {"MapInPandas", "ArrowEvalPython"},  # declared Arrow variant
-    # sketch pipeline: map-side partial digests + merge + estimate UDF
-    "tdigest_1h": {"MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"},
+    # sketch pipeline (direct mode): collect_list shuffle + Arrow
+    # build/merge/stats passes — no grouped-map, no per-group pandas
+    "tdigest_1h": {"ArrowEvalPython"},
 }
 NLJ_ALLOWED = {"similarity_topk"}
 

@@ -143,3 +143,35 @@ def test_tdigest_stats_conservation(spark):
     assert row["cnt"] == len(pdf)
     assert row["min"] == pdf["value"].min()
     assert row["max"] == pdf["value"].max()
+
+
+def test_build_many_matches_per_group_build():
+    """The vectorized multi-group pass must produce BYTE-identical
+    digests to building each group alone (same sort, same k-cells)."""
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 50, 20_000).astype(np.int64)
+    vals = rng.normal(0, 3, 20_000)
+    vals[::97] = np.nan  # sprinkle NaNs
+    pairs = dict(td._build_many(codes, vals, 200.0))
+    assert len(pairs) == 50
+    for g in range(50):
+        expected = td.build(vals[codes == g], 200.0)
+        assert pairs[g] == expected, f"group {g} diverged"
+
+
+def test_presketch_mode_agrees_with_direct(spark):
+    """presketch=True (the huge-window path) must conserve weight
+    exactly and land within the rank envelope of the direct build."""
+    df, pdf = _points(spark, n_per_min=200, minutes=30)
+    direct = td.tdigest_cascade(td.tdigest_rollup(df, "1m"), "1m", "1h")
+    pre = td.tdigest_cascade(
+        td.tdigest_rollup(df, "1m", presketch=True), "1m", "1h"
+    )
+    d_row = td.tdigest_stats(direct).collect()[0]
+    p_row = td.tdigest_stats(pre).collect()[0]
+    assert p_row["cnt"] == d_row["cnt"] == len(pdf)
+    assert p_row["min"] == d_row["min"] and p_row["max"] == d_row["max"]
+    allv = pdf["value"].to_numpy()
+    for q in (0.5, 0.95, 0.99):
+        est = td.tdigest_quantiles(pre, [q]).collect()[0][-1]
+        assert _rank_error(allv, est, q) <= 0.02
