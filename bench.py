@@ -106,11 +106,13 @@ def main() -> None:
         "sessions_30m",
         "tdigest_1h",
     ]:
-        # best-of-2: the shared host shows episodic CPU-steal bursts
+        # best-of-K: the shared host shows episodic CPU-steal bursts
         # (BENCH/BASELINE.md caveat); noise only ever adds time, so the
-        # min is the faithful plan-cost estimate
+        # min is the faithful plan-cost estimate.  Queries are cheap, so
+        # K=3 by default; the pipeline stays best-of-2 (it dominates).
+        attempts = int(os.environ.get("BENCH_QUERY_ATTEMPTS", "3"))
         best = None
-        for _ in range(2):
+        for _ in range(attempts):
             t0 = time.perf_counter()
             n = qs[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
@@ -164,7 +166,7 @@ def main() -> None:
                 "tok_rows": extras["tok_rows"],
                 "vs_prev": vs_prev,
                 "prev_bench": prev_name,
-                "timing": "queries AND tok pipeline best-of-2 (fresh store per attempt)",
+                "timing": "queries best-of-3, tok pipeline best-of-2 (fresh store per attempt)",
             }
         )
     )
