@@ -1093,6 +1093,40 @@ def q_tdigest_1h(spark, sf_dir):
     )
 
 
+def q_mg_topk_1h(spark, sf_dir):
+    """Mergeable heavy-hitter tiers (operators/heavyhitters.py): per-
+    minute Misra-Gries summaries over user_id, sketch-merged to 1h,
+    top-5 exploded.
+
+    At sf0.01 the per-window user cardinality sits far below k=8192,
+    so every summary is EXACT (err 0) and the whole
+    build+merge+cascade+topk pipeline must hash-match the direct SQL
+    top-k (count desc, item asc ties) — the truncation error bound is
+    pinned separately by tests/test_heavyhitters.py.
+    """
+    from logtrics_spark.operators.heavyhitters import mg_cascade, mg_rollup, mg_topk
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("source"),
+        F.lit("ev.users").alias("metric"),
+        F.lit("set").alias("kind"),
+        "ts",
+        "user_id",
+    )
+    fine = mg_rollup(pts, "1m", "user_id", k=8192)
+    hour = mg_cascade(fine, "1m", "1h", k=8192)
+    top = mg_topk(hour, n=5)
+    return top.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "item",
+        "est_count",
+        F.col("rank").cast("long").alias("rank"),
+        "err",
+        "total_n",
+    )
+
+
 # ---------------------------------------------------------------- driver
 
 
@@ -1176,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_30m": q_sessions_30m,
         "sessions_30m_bucketed": q_sessions_30m_bucketed,
         "tdigest_1h": q_tdigest_1h,
+        "mg_topk_1h": q_mg_topk_1h,
     }
 
 
@@ -1774,6 +1809,25 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed scale path must satisfy the IDENTICAL oracle —
     # bucketing is an execution strategy, not a semantics change
     sqls["sessions_30m_bucketed"] = sqls["sessions_30m"]
+    # MG summaries are exact below capacity (err 0): the sketch
+    # pipeline must reproduce the direct top-k, ties (count desc,
+    # item asc) included
+    sqls["mg_topk_1h"] = """
+        WITH c AS (
+          SELECT event_type AS source,
+                 CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                 CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3),
+        r AS (
+          SELECT source, ws, item, cnt,
+                 row_number() OVER (PARTITION BY source, ws
+                                    ORDER BY cnt DESC, item ASC) AS rank,
+                 CAST(sum(cnt) OVER (PARTITION BY source, ws) AS BIGINT) AS total_n
+          FROM c)
+        SELECT source, ws, item, cnt AS est_count, rank,
+               CAST(0 AS BIGINT) AS err, total_n
+        FROM r WHERE rank <= 5
+    """
     return sqls
 
 

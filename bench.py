@@ -105,6 +105,7 @@ def main() -> None:
         "lttb_1m",
         "sessions_30m",
         "tdigest_1h",
+        "mg_topk_1h",
     ]:
         # best-of-K: the shared host shows episodic CPU-steal bursts
         # (BENCH/BASELINE.md caveat); noise only ever adds time, so the

@@ -1,0 +1,174 @@
+"""Mergeable heavy-hitter tiers — Misra-Gries summaries (Misra & Gries
+1982; mergeability per Agarwal et al., "Mergeable Summaries", PODS'12).
+
+WHY: "top sources/users per window" is the third aggregate family that
+does not compose: the exact `topk_series` answers one tier from its
+rows, but the top-k of an hour is NOT derivable from the top-k of its
+minutes once the tails were dropped — same trap as percentiles and
+distinct counts.  This completes the mergeable-sketch trio alongside
+`set_sketch_rollup` (HLL, distinct counts) and `tdigest_rollup`
+(quantiles): each fine window stores a bounded (item, count) summary
+plus an error bound, coarser tiers MERGE summaries, and any item with
+true frequency > n/(k+1) is GUARANTEED to survive every merge.
+
+Summary semantics (per window): up to k items with clipped counts and
+a scalar ``err`` such that for every item,
+
+    true_count - err <= est_count(+0 if absent) <= true_count
+
+``total_n`` carries the exact window mass (conserved through merges —
+the hash-exact invariant a driver oracle can check).  Merge = sum
+counts coordinate-wise, add errs, then if over capacity subtract the
+(k+1)-th largest count from all, clip at 0, and fold the subtracted
+amount into ``err`` (the PODS'12 reduction).
+
+Execution shape mirrors the t-digest direct mode: the per-window item
+counts are a plain JVM two-key groupBy (partial+final native agg — the
+raw shuffle carries (window, item) longs), the summary build and every
+merge are single whole-batch Arrow passes over collect_list rows —
+no per-group pandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logtrics_spark.operators.rollup import KEY, tier_seconds, window_start
+
+_SUMMARY = "items array<string>, counts array<long>, err long, total_n long"
+
+
+def _reduce(items: np.ndarray, counts: np.ndarray, k: int):
+    """PODS'12 reduction to capacity k; returns (items, counts, delta).
+
+    Deterministic: ties in the (k+1)-th count are resolved by the
+    (-count, item) sort, so the same inputs always keep the same items.
+    """
+    if len(items) <= k:
+        order = np.lexsort((items, -counts))
+        return items[order], counts[order], 0
+    order = np.lexsort((items, -counts))
+    items, counts = items[order], counts[order]
+    delta = int(counts[k])  # (k+1)-th largest
+    counts = counts - delta
+    keep = counts > 0
+    keep[k:] = False  # ties at the boundary all clipped to <= 0 anyway
+    return items[keep], counts[keep], delta
+
+
+def mg_merge(summaries, k: int):
+    """Merge (items, counts, err, total_n) summaries at capacity k."""
+    bag: dict[str, int] = {}
+    err = 0
+    total = 0
+    for it, cn, e, n in summaries:
+        err += int(e)
+        total += int(n)
+        for i, c in zip(it, cn):
+            bag[i] = bag.get(i, 0) + int(c)
+    if not bag:
+        return [], [], err, total
+    items = np.array(list(bag.keys()), dtype=object)
+    counts = np.array(list(bag.values()), dtype=np.int64)
+    items, counts, delta = _reduce(items, counts, k)
+    return list(items), [int(c) for c in counts], err + delta, total
+
+
+def mg_rollup(
+    points: DataFrame,
+    tier: str,
+    item_col: str,
+    key: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """One MG summary per series-window over ``item_col``.
+
+    The item counting is exact (two-key native groupBy); the summary
+    truncates to capacity k with the MG guarantee.  err == 0 whenever
+    the window's item cardinality <= k (the summary is then exact).
+    """
+    key = key or KEY
+    gcols = [*key, "window_start"]
+    counts = (
+        points.withColumn("window_start", window_start(F.col("ts"), tier))
+        .groupBy(*gcols, F.col(item_col).cast("string").alias("_item"))
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy(*gcols)
+        .agg(
+            F.collect_list("_item").alias("_items"),
+            F.collect_list("_cnt").alias("_cnts"),
+        )
+    )
+
+    @F.pandas_udf(_SUMMARY)
+    def summarize(it: pd.Series, cn: pd.Series) -> pd.DataFrame:
+        rows = []
+        for items, cnts in zip(it, cn):
+            i, c, delta = _reduce(
+                np.asarray(items, dtype=object), np.asarray(cnts, dtype=np.int64), k
+            )
+            rows.append((list(i), [int(x) for x in c], delta, int(np.sum(cnts))))
+        return pd.DataFrame(rows, columns=["items", "counts", "err", "total_n"])
+
+    return (
+        counts.withColumn("_s", summarize("_items", "_cnts"))
+        .select(*gcols, "_s.items", "_s.counts", "_s.err", "_s.total_n")
+    )
+
+
+def mg_cascade(fine: DataFrame, fine_tier: str, coarse_tier: str, k: int = 256) -> DataFrame:
+    """Merge fine windows' summaries into the coarse window — one JVM
+    collect_list shuffle over tier rows, one Arrow merge pass."""
+    if tier_seconds(coarse_tier) % tier_seconds(fine_tier) != 0:
+        raise ValueError(f"{coarse_tier} is not a multiple of {fine_tier}")
+    key = [
+        c
+        for c in fine.columns
+        if c not in ("window_start", "items", "counts", "err", "total_n")
+    ]
+    gcols = [*key, "window_start"]
+
+    @F.pandas_udf(_SUMMARY)
+    def merge_rows(it: pd.Series, cn: pd.Series, er: pd.Series, tn: pd.Series) -> pd.DataFrame:
+        rows = []
+        for its, cns, errs, ns in zip(it, cn, er, tn):
+            rows.append(mg_merge(zip(its, cns, errs, ns), k))
+        return pd.DataFrame(rows, columns=["items", "counts", "err", "total_n"])
+
+    return (
+        fine.withColumn("window_start", window_start(F.col("window_start"), coarse_tier))
+        .groupBy(*gcols)
+        .agg(
+            F.collect_list("items").alias("_it"),
+            F.collect_list("counts").alias("_cn"),
+            F.collect_list("err").alias("_er"),
+            F.collect_list("total_n").alias("_tn"),
+        )
+        .withColumn("_s", merge_rows("_it", "_cn", "_er", "_tn"))
+        .select(*gcols, "_s.items", "_s.counts", "_s.err", "_s.total_n")
+    )
+
+
+def mg_topk(summary_df: DataFrame, n: int = 10) -> DataFrame:
+    """Explode the top-n of each summary: (key..., window_start, item,
+    est_count, err, total_n, rank).  Summaries store items pre-sorted
+    by (-count, item), so rank = array position — no re-sort, and the
+    tie order is engine-reproducible (the driver oracle relies on it).
+    """
+    pre = summary_df.withColumn("_ti", F.slice("items", 1, n)).withColumn(
+        "_tc", F.slice("counts", 1, n)
+    )
+    keep = [c for c in summary_df.columns if c not in ("items", "counts")]
+    ex = pre.select(
+        *keep, F.posexplode(F.arrays_zip("_ti", "_tc")).alias("_pos", "_pair")
+    )
+    return ex.select(
+        *keep,
+        F.col("_pair._ti").alias("item"),
+        F.col("_pair._tc").alias("est_count"),
+        (F.col("_pos") + 1).alias("rank"),
+    )

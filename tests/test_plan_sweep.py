@@ -32,9 +32,10 @@ PY_ALLOWED = {
     "holtwinters_1h": {"FlatMapGroupsInPandas"},  # seasonal fold
     "lttb_1m": {"FlatMapGroupsInPandas"},  # bucket selection fold
     "tokseq_tiers_arrow": {"MapInPandas", "ArrowEvalPython"},  # declared Arrow variant
-    # sketch pipeline (direct mode): collect_list shuffle + Arrow
+    # sketch pipelines (direct mode): collect_list shuffle + Arrow
     # build/merge/stats passes — no grouped-map, no per-group pandas
     "tdigest_1h": {"ArrowEvalPython"},
+    "mg_topk_1h": {"ArrowEvalPython"},
 }
 NLJ_ALLOWED = {"similarity_topk"}
 
