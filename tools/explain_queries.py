@@ -51,7 +51,7 @@ def main(argv: list[str]) -> int:
                 print(
                     f"{name:24s} exchanges={plan.count('Exchange'):2d} "
                     f"scans={scan:2d} "
-                    f"python={plan.count('PythonUDF') + plan.count('ArrowEval') + plan.count('FlatMapGroupsInPandas'):2d}"
+                    f"python={plan.count('BatchEvalPython') + plan.count('ArrowEval') + plan.count('FlatMapGroupsInPandas') + plan.count('MapInPandas'):2d}"
                 )
             return 0
         if target not in qs:
