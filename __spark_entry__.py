@@ -235,6 +235,23 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def q_gapfill_keeplast_1h(spark, sf_dir):
+    """Graphite keepLastValue(limit=3): bounded LOCF — null runs of at
+    most 3 slots fill with the last gauge value, longer outages stay
+    visibly null.  The oracle mirrors the run-length construction with
+    the same window functions (row numbers over the dense spine)."""
+    from logtrics_spark.operators.gapfill import gapfill
+    from logtrics_spark.operators.rollup import rollup
+
+    r = rollup(_events_points(spark, sf_dir), "1h")
+    g = gapfill(r, "1h", method="locf", value_cols=["last"], limit=3)
+    return g.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("last", 4).alias("last_val"),
+    )
+
+
 def q_moving_avg_1h(spark, sf_dir):
     """Graphite movingAverage over the 1m tier: trailing 1h time-RANGE
     mean — gaps shrink the sample instead of stretching the span."""
@@ -1166,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meter_rate_1h": q_meter_rate_1h,
         "timer_pcts_1d": q_timer_pcts_1d,
         "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gapfill_keeplast_1h": q_gapfill_keeplast_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "moving_avg_1h": q_moving_avg_1h,
         "counter_rate_1m": q_counter_rate_1m,
@@ -1278,6 +1296,40 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY s.source ORDER BY s.ws
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS last_val
             FROM spine s LEFT JOIN t ON s.source = t.source AND s.ws = t.ws
+        """,
+        # keepLastValue(3): same spine, plus run-length bookkeeping via
+        # row numbers — a null run fills only when its whole length <= 3
+        "gapfill_keeplast_1h": """
+            WITH t AS (
+              SELECT event_type AS source,
+                     CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                     arg_max(value, ts) AS v
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT source, min(ws) mn, max(ws) mx FROM t GROUP BY source),
+            spine AS (
+              SELECT b.source, unnest(range(b.mn, b.mx + 3600, 3600)) AS ws FROM bounds b),
+            base AS (
+              SELECT s.source, s.ws, t.v,
+                     row_number() OVER (PARTITION BY s.source ORDER BY s.ws) AS rn,
+                     count(*) OVER (PARTITION BY s.source) AS n_rows
+              FROM spine s LEFT JOIN t ON s.source = t.source AND s.ws = t.ws),
+            j AS (
+              SELECT source, ws, v, n_rows,
+                     last_value(v IGNORE NULLS)
+                       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+                     last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rn,
+                     first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                       OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rn
+              FROM base
+              WINDOW w AS (PARTITION BY source ORDER BY ws))
+            SELECT source, ws,
+                   floor((CASE WHEN v IS NOT NULL THEN v
+                               WHEN prev_rn IS NOT NULL
+                                    AND COALESCE(next_rn - prev_rn - 1,
+                                                 n_rows - prev_rn) <= 3
+                               THEN filled END) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS last_val
+            FROM j
         """,
         "gapfill_linear_1h": """
             WITH t AS (

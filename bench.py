@@ -84,6 +84,7 @@ def main() -> None:
         "cum_counter_1d",
         "timer_pcts_1d",
         "gapfill_locf_1h",
+        "gapfill_keeplast_1h",
         "gapfill_linear_1h",
         "gorilla_roundtrip",
         "extract_regex",

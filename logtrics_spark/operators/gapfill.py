@@ -58,8 +58,17 @@ def locf(
     value_cols: list[str] | None = None,
     key: list[str] | None = None,
     order_col: str = "window_start",
+    limit: int | None = None,
 ) -> DataFrame:
-    """Fill nulls with the previous non-null value per series (N5)."""
+    """Fill nulls with the previous non-null value per series (N5).
+
+    ``limit`` gives Graphite's ``keepLastValue(limit)`` semantics: a
+    null RUN is filled only when its whole length is <= limit slots —
+    longer outages stay visibly null instead of flatlining forever
+    (interior runs measured between the surrounding known slots;
+    trailing runs by their length; leading runs never fill).  None =
+    unbounded carry (plain locf).
+    """
     key = key or KEY
     value_cols = value_cols or AGG_COLS
     w = (
@@ -67,10 +76,40 @@ def locf(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df
+    if limit is None:
+        out = df
+        for c in value_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return out
+    if limit < 1:
+        raise ValueError(f"limit must be >= 1, got {limit}")
+    # run-length bookkeeping shares ONE ordering: row number per slot,
+    # the last known slot's row number behind each slot, the next known
+    # slot's ahead — run_len = gap between the surrounding known slots
+    wf = (
+        Window.partitionBy(*key)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    wall = Window.partitionBy(*key)
+    ordw = Window.partitionBy(*key).orderBy(order_col)
+    out = df.withColumn("_rn", F.row_number().over(ordw))
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+        v = F.col(c)
+        known_rn = F.when(v.isNotNull(), F.col("_rn"))
+        prev_rn = F.last(known_rn, ignorenulls=True).over(w)
+        next_rn = F.first(known_rn, ignorenulls=True).over(wf)
+        run_len = F.when(
+            next_rn.isNotNull(), next_rn - prev_rn - 1
+        ).otherwise(F.max("_rn").over(wall) - prev_rn)
+        filled = F.last(v, ignorenulls=True).over(w)
+        out = out.withColumn(
+            c,
+            F.when(v.isNotNull(), v).otherwise(
+                F.when(prev_rn.isNotNull() & (run_len <= limit), filled)
+            ),
+        )
+    return out.drop("_rn")
 
 
 def interp_linear(
@@ -122,13 +161,17 @@ def gapfill(
     method: str = "locf",
     value_cols: list[str] | None = None,
     key: list[str] | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
-    """Spine + fill in one call: method in {'null', 'locf', 'linear'}."""
+    """Spine + fill in one call: method in {'null', 'locf', 'linear'}.
+
+    ``limit`` (locf only) = Graphite's keepLastValue(limit): fill only
+    null runs of <= limit slots."""
     dense = dense_spine(tier_df, tier, key=key)
     if method == "null":
         return dense
     if method == "locf":
-        return locf(dense, value_cols=value_cols, key=key)
+        return locf(dense, value_cols=value_cols, key=key, limit=limit)
     if method == "linear":
         return interp_linear(dense, value_cols=value_cols, key=key)
     raise ValueError(f"unknown gapfill method {method!r}")

@@ -110,3 +110,44 @@ def test_gapfill_matches_duckdb_oracle(spark, sparse_tier):
     ).df()
     assert len(got) == len(exp)
     assert (got["last"].to_numpy() == exp["last"].to_numpy()).all()
+
+
+def test_locf_limit_keep_last_value(spark):
+    """Graphite keepLastValue(limit): short null runs fill, runs longer
+    than limit stay null entirely, trailing runs measured by their own
+    length, leading runs never fill."""
+    import pandas as pd
+
+    from logtrics_spark.operators.gapfill import locf
+
+    base = pd.Timestamp("2024-01-01")
+    vals = [None, 10.0, None, 30.0, None, None, None, 70.0, None, None]
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 10,
+            "metric": ["m"] * 10,
+            "kind": ["gauge"] * 10,
+            "window_start": [base + pd.Timedelta(minutes=i) for i in range(10)],
+            "last": pd.array(vals, dtype="Float64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    got1 = [
+        r["last"]
+        for r in locf(df, ["last"], limit=1).orderBy("window_start").collect()
+    ]
+    # slot0 leading -> never fills; slot2 (run len 1) fills with 10;
+    # run 4-6 (len 3 > 1) stays null; trailing 8-9 (len 2 > 1) stays null
+    assert got1 == [None, 10.0, 10.0, 30.0, None, None, None, 70.0, None, None]
+
+    got3 = [
+        r["last"]
+        for r in locf(df, ["last"], limit=3).orderBy("window_start").collect()
+    ]
+    assert got3 == [None, 10.0, 10.0, 30.0, 30.0, 30.0, 30.0, 70.0, 70.0, 70.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        locf(df, ["last"], limit=0)
