@@ -235,6 +235,34 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def q_error_ratio_1h(spark, sf_dir):
+    """Graphite divideSeries as ONE conditional aggregation
+    (series.py::ratio_series): per hour, the 'error' sources' share of
+    all event mass — the error-rate query every deployment writes.  No
+    self-join: numerator and denominator are predicates over the same
+    rows, one partial-aggregating groupBy."""
+    from logtrics_spark.operators.series import ratio_series
+
+    r = _rollup_events_raw(spark, sf_dir, "1h")
+    out = ratio_series(
+        r, "cnt",
+        F.col("source") == "error",
+        F.lit(True),
+        by=["window_start"],
+        out_col="err_ratio",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("err_ratio", 6).alias("err_ratio"),
+    )
+
+
+def _rollup_events_raw(spark, sf_dir, tier: str):
+    from logtrics_spark.operators.rollup import rollup
+
+    return rollup(_events_points(spark, sf_dir), tier)
+
+
 def q_gapfill_keeplast_1h(spark, sf_dir):
     """Graphite keepLastValue(limit=3): bounded LOCF — null runs of at
     most 3 slots fill with the last gauge value, longer outages stay
@@ -1184,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timer_pcts_1d": q_timer_pcts_1d,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_keeplast_1h": q_gapfill_keeplast_1h,
+        "error_ratio_1h": q_error_ratio_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "moving_avg_1h": q_moving_avg_1h,
         "counter_rate_1m": q_counter_rate_1m,
@@ -1861,6 +1890,12 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed scale path must satisfy the IDENTICAL oracle —
     # bucketing is an execution strategy, not a semantics change
     sqls["sessions_30m_bucketed"] = sqls["sessions_30m"]
+    sqls["error_ratio_1h"] = f"""
+        SELECT CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+               {_qsql("sum(CASE WHEN event_type = 'error' THEN 1 END)"
+                      " * 1.0 / count(*)", 6)} AS err_ratio
+        FROM events GROUP BY 1
+    """
     # MG summaries are exact below capacity (err 0): the sketch
     # pipeline must reproduce the direct top-k, ties (count desc,
     # item asc) included

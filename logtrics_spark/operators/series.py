@@ -491,3 +491,43 @@ def as_percent(
         out,
         F.when((total != 0) & ~F.isnan(total) & ~F.isnan(v), v / total * 100.0),
     )
+
+
+def ratio_series(
+    tier_df: DataFrame,
+    value_col: str,
+    num_filter,
+    den_filter,
+    by: list[str] | None = None,
+    op: str = "div",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``divideSeries`` / ``diffSeries`` as ONE conditional
+    aggregation — the error-rate query everyone writes:
+
+        ratio_series(tier, "cnt",
+                     F.col("source") == "error",
+                     F.lit(True),            # denominator: all sources
+                     by=["window_start"])
+
+    Numerator and denominator are filter predicates over the SAME tier
+    rows, so this is a single partial-aggregating groupBy on ``by`` —
+    no self-join, no second scan (the naive divideSeries is a join of
+    two filtered reads of the same table).  ``op``: 'div' (null on
+    zero/null/NaN denominators, same guard family as as_percent) or
+    'sub'.  Rows matching neither predicate fall out of both sums.
+    """
+    if op not in ("div", "sub"):
+        raise ValueError(f"op must be 'div' or 'sub', got {op!r}")
+    by = by or ["window_start"]
+    out = out_col or f"{op}_{value_col}"
+    v = F.col(value_col)
+    num = F.sum(F.when(num_filter & ~F.isnan(v), v)).alias("_num")
+    den = F.sum(F.when(den_filter & ~F.isnan(v), v)).alias("_den")
+    agg = tier_df.groupBy(*by).agg(num, den)
+    if op == "sub":
+        expr = F.col("_num") - F.col("_den")
+    else:
+        d = F.col("_den")
+        expr = F.when((d != 0) & ~F.isnan(d), F.col("_num") / d)
+    return agg.withColumn(out, expr).drop("_num", "_den")

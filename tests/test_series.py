@@ -403,3 +403,31 @@ def test_as_percent_nan_total_does_not_poison_window(spark):
     assert got["a"] == pytest.approx(25.0)
     assert got["b"] == pytest.approx(75.0)
     assert got["c"] is None
+
+
+def test_ratio_series_error_rate(spark):
+    from logtrics_spark.operators.series import ratio_series
+
+    df = _tier(spark, [("err", 0, 2), ("ok", 0, 8), ("err", 1, 1), ("ok", 1, 0)])
+    out = ratio_series(
+        df, "val", F.col("source") == "err", F.lit(True), by=["window_start"]
+    )
+    got = {r["window_start"].minute: r["div_val"] for r in out.collect()}
+    assert got[0] == pytest.approx(0.2)   # 2 / (2+8)
+    assert got[1] == pytest.approx(1.0)   # 1 / (1+0)
+
+    # zero denominator -> null, not a blowup; sub op subtracts
+    z = ratio_series(
+        _tier(spark, [("err", 0, 3), ("ok", 0, -3)]),
+        "val", F.col("source") == "err", F.lit(True), by=["window_start"],
+    )
+    assert z.collect()[0]["div_val"] is None
+    s = ratio_series(
+        df, "val", F.col("source") == "err", F.col("source") == "ok",
+        by=["window_start"], op="sub",
+    )
+    got = {r["window_start"].minute: r["sub_val"] for r in s.collect()}
+    assert got[0] == pytest.approx(-6.0) and got[1] == pytest.approx(1.0)
+
+    with pytest.raises(ValueError):
+        ratio_series(df, "val", F.lit(True), F.lit(True), op="mul")
