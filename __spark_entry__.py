@@ -235,6 +235,30 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def q_transform_chain_1h(spark, sf_dir):
+    """Pointwise Graphite transforms chained in one projection
+    (series.py transform_null/absolute/scale/offset): derivative of the
+    hourly sum, nulls->0, |x|, x8, +1 — the oracle mirrors the whole
+    chain in plain SQL, proving the functions compose with zero extra
+    plan nodes and identical null semantics."""
+    from logtrics_spark.operators.series import (
+        absolute,
+        derivative,
+        offset,
+        scale,
+        transform_null,
+    )
+
+    r = _rollup_events_raw(spark, sf_dir, "1h")
+    d = derivative(r, "sum", out_col="v")
+    out = offset(scale(absolute(transform_null(d, "v", 0.0), "v"), "v", 8.0), "v", 1.0)
+    return out.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("v", 4).alias("v"),
+    )
+
+
 def q_error_ratio_1h(spark, sf_dir):
     """Graphite divideSeries as ONE conditional aggregation
     (series.py::ratio_series): per hour, the 'error' sources' share of
@@ -1213,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_keeplast_1h": q_gapfill_keeplast_1h,
         "error_ratio_1h": q_error_ratio_1h,
+        "transform_chain_1h": q_transform_chain_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "moving_avg_1h": q_moving_avg_1h,
         "counter_rate_1m": q_counter_rate_1m,
@@ -1895,6 +1920,20 @@ def oracle_sql() -> dict[str, str]:
                {_qsql("sum(CASE WHEN event_type = 'error' THEN 1 END)"
                       " * 1.0 / count(*)", 6)} AS err_ratio
         FROM events GROUP BY 1
+    """
+    sqls["transform_chain_1h"] = f"""
+        WITH h AS (
+          SELECT event_type AS source,
+                 CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                 sum(value) AS s
+          FROM events GROUP BY 1, 2),
+        d AS (
+          SELECT source, ws,
+                 s - lag(s) OVER (PARTITION BY source ORDER BY ws) AS v
+          FROM h)
+        SELECT source, ws,
+               {_qsql('abs(COALESCE(v, 0)) * 8.0 + 1.0', 4)} AS v
+        FROM d
     """
     # MG summaries are exact below capacity (err 0): the sketch
     # pipeline must reproduce the direct top-k, ties (count desc,

@@ -531,3 +531,54 @@ def ratio_series(
         d = F.col("_den")
         expr = F.when((d != 0) & ~F.isnan(d), F.col("_num") / d)
     return agg.withColumn(out, expr).drop("_num", "_den")
+
+
+# ------------------------------------------------- pointwise transforms
+# Graphite's scalar family (transformNull, absolute, scale, offset,
+# invert) — pure column expressions, so they chain inside one projection
+# with ZERO extra plan nodes; provided as named functions for parity
+# with the Graphite API and for readable pipelines.
+
+
+def transform_null(
+    tier_df: DataFrame, value_col: str, default: float = 0.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``transformNull(series, default)``: nulls become the
+    default (the presentation-side cousin of gap-fill — use gapfill for
+    analysis, this for display semantics like 'no data means 0')."""
+    out = out_col or value_col
+    return tier_df.withColumn(out, F.coalesce(F.col(value_col), F.lit(default)))
+
+
+def absolute(tier_df: DataFrame, value_col: str, out_col: str | None = None) -> DataFrame:
+    """Graphite ``absolute(series)``."""
+    out = out_col or value_col
+    return tier_df.withColumn(out, F.abs(F.col(value_col)))
+
+
+def scale(
+    tier_df: DataFrame, value_col: str, factor: float, out_col: str | None = None
+) -> DataFrame:
+    """Graphite ``scale(series, factor)`` (e.g. bytes -> bits, x8)."""
+    out = out_col or value_col
+    return tier_df.withColumn(out, F.col(value_col) * F.lit(factor))
+
+
+def offset(
+    tier_df: DataFrame, value_col: str, amount: float, out_col: str | None = None
+) -> DataFrame:
+    """Graphite ``offset(series, amount)``."""
+    out = out_col or value_col
+    return tier_df.withColumn(out, F.col(value_col) + F.lit(amount))
+
+
+def invert(tier_df: DataFrame, value_col: str, out_col: str | None = None) -> DataFrame:
+    """Graphite ``invert(series)``: 1/x; zero and NaN yield null (the
+    division-guard family: x/0 is null under non-ansi Spark, and NaN
+    must not pass a later threshold filter)."""
+    out = out_col or value_col
+    v = F.col(value_col)
+    return tier_df.withColumn(
+        out, F.when((v != 0) & ~F.isnan(v), F.lit(1.0) / v)
+    )

@@ -431,3 +431,22 @@ def test_ratio_series_error_rate(spark):
 
     with pytest.raises(ValueError):
         ratio_series(df, "val", F.lit(True), F.lit(True), op="mul")
+
+
+def test_pointwise_transforms_chain(spark):
+    from logtrics_spark.operators.series import (
+        absolute,
+        invert,
+        offset,
+        scale,
+        transform_null,
+    )
+
+    df = _tier(spark, [(0, -2), (1, 0), (2, 4)])
+    df = df.withColumn("val", F.when(F.minute("window_start") != 1, F.col("val")))
+    out = scale(absolute(transform_null(df, "val", 0.0), "val"), "val", 8.0)
+    assert _vals(out, "val") == [16.0, 0.0, 32.0]
+    out2 = offset(df, "val", 10.0)
+    assert _vals(out2, "val") == [8.0, None, 14.0]
+    inv = invert(_tier(spark, [(0, 4), (1, 0), (2, float("nan"))]), "val")
+    assert _vals(inv, "val") == [0.25, None, None]
