@@ -259,6 +259,25 @@ def q_transform_chain_1h(spark, sf_dir):
     )
 
 
+def q_linreg_1h(spark, sf_dir):
+    """Graphite linearRegression over a trailing 6h RANGE frame: OLS
+    slope/intercept of (epoch, hourly avg) per series, predicting 1h
+    ahead.  The oracle mirrors the five-sums formula with the SAME
+    per-series centering and frame, so both engines accumulate the
+    identical term sequence."""
+    from logtrics_spark.operators.series import linear_regression
+
+    r = _rollup_events_raw(spark, sf_dir, "1h")
+    out = linear_regression(r, "avg", window_seconds=6 * 3600, predict_seconds=3600)
+    return out.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("slope", 8).alias("slope"),
+        _q("intercept", 4).alias("intercept"),
+        _q("predict", 4).alias("predict"),
+    )
+
+
 def q_error_ratio_1h(spark, sf_dir):
     """Graphite divideSeries as ONE conditional aggregation
     (series.py::ratio_series): per hour, the 'error' sources' share of
@@ -1238,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_keeplast_1h": q_gapfill_keeplast_1h,
         "error_ratio_1h": q_error_ratio_1h,
         "transform_chain_1h": q_transform_chain_1h,
+        "linreg_1h": q_linreg_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "moving_avg_1h": q_moving_avg_1h,
         "counter_rate_1m": q_counter_rate_1m,
@@ -1934,6 +1954,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, ws,
                {_qsql('abs(COALESCE(v, 0)) * 8.0 + 1.0', 4)} AS v
         FROM d
+    """
+    sqls["linreg_1h"] = f"""
+        WITH h AS (
+          SELECT event_type AS source,
+                 CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                 avg(value) AS y
+          FROM events GROUP BY 1, 2),
+        c AS (
+          SELECT source, ws, y,
+                 CAST(ws - min(ws) OVER (PARTITION BY source) AS DOUBLE) AS x
+          FROM h),
+        s AS (
+          SELECT source, ws, x,
+                 count(y) OVER w AS n,
+                 sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                 sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx
+          FROM c
+          WINDOW w AS (PARTITION BY source ORDER BY ws
+                       RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW)),
+        f AS (
+          SELECT source, ws, x, n,
+                 CASE WHEN n >= 2 AND n*sxx - sx*sx != 0
+                      THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope,
+                 sy, sx
+          FROM s)
+        SELECT source, ws,
+               {_qsql('slope', 8)} AS slope,
+               {_qsql('(sy - slope*sx)/n', 4)} AS intercept,
+               {_qsql('slope*(x + 3600.0) + (sy - slope*sx)/n', 4)} AS predict
+        FROM f
     """
     # MG summaries are exact below capacity (err 0): the sketch
     # pipeline must reproduce the direct top-k, ties (count desc,

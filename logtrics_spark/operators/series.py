@@ -582,3 +582,59 @@ def invert(tier_df: DataFrame, value_col: str, out_col: str | None = None) -> Da
     return tier_df.withColumn(
         out, F.when((v != 0) & ~F.isnan(v), F.lit(1.0) / v)
     )
+
+
+def linear_regression(
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None = None,
+    predict_seconds: int = 0,
+) -> DataFrame:
+    """Graphite ``linearRegression(series)`` over a TRAILING time range:
+    per slot, the OLS slope/intercept of (epoch, value) across the last
+    ``window_seconds``, plus ``predict`` = the fitted value
+    ``predict_seconds`` ahead of the slot (0 = the detrended "expected
+    now", the linear cousin of the z-score baseline).
+
+    Pure Catalyst: the five OLS sums (n, Σx, Σy, Σxy, Σx²) are window
+    aggregates over ONE shared time-RANGE frame — no Python, no second
+    exchange in a chain with the other series functions.  Slots whose
+    window holds < 2 samples, or a degenerate vertical spread
+    (all-same-x), yield null slope/intercept/predict.  NaN samples are
+    excluded from the sums (the usual guard family).
+
+    x is centered on the SERIES' first epoch (a per-series constant,
+    materialized before the sums — a per-frame origin would nest window
+    functions and, worse, center each frame row differently) — raw
+    epoch seconds (~1.7e9) squared would eat half the double mantissa
+    and the slope formula's cancellation would amplify it; a within-
+    series span squared stays comfortably exact.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    key = key or KEY
+    d = _with_epoch(tier_df).withColumn(
+        "_x",
+        (F.col(_WS) - F.min(_WS).over(Window.partitionBy(*key))).cast("double"),
+    )
+    w = _series_window(key).rangeBetween(-(window_seconds - 1), 0)
+    v = F.col(value_col)
+    ok = v.isNotNull() & ~F.isnan(v)
+    xs = F.when(ok, F.col("_x"))
+    ys = F.when(ok, v)
+    n = F.count(ys).over(w).cast("double")
+    sx = F.sum(xs).over(w)
+    sy = F.sum(ys).over(w)
+    sxy = F.sum(xs * ys).over(w)
+    sxx = F.sum(xs * xs).over(w)
+    det = n * sxx - sx * sx
+    slope = F.when((n >= 2) & (det != 0), (n * sxy - sx * sy) / det)
+    intercept = (sy - slope * sx) / n
+    pred_x = F.col("_x") + F.lit(float(predict_seconds))
+    return (
+        d.withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+        .withColumn("predict", slope * pred_x + F.col("intercept"))
+        .drop(_WS, "_x")
+    )

@@ -450,3 +450,30 @@ def test_pointwise_transforms_chain(spark):
     assert _vals(out2, "val") == [8.0, None, 14.0]
     inv = invert(_tier(spark, [(0, 4), (1, 0), (2, float("nan"))]), "val")
     assert _vals(inv, "val") == [0.25, None, None]
+
+
+def test_linear_regression_recovers_trend(spark):
+    from logtrics_spark.operators.series import linear_regression
+
+    # exact line y = 3x + 7 (x in seconds): slope must come back exactly
+    df = _tier(spark, [(m, 3 * (m * 60) + 7) for m in range(6)])
+    out = linear_regression(df, "val", window_seconds=300)
+    rows = out.orderBy("window_start").collect()
+    assert rows[0]["slope"] is None  # 1-sample window
+    for r in rows[1:]:
+        assert r["slope"] == pytest.approx(3.0, abs=1e-9)
+        assert r["predict"] == pytest.approx(r["val"], abs=1e-6)
+
+    # predict_seconds projects forward along the fit
+    fwd = linear_regression(df, "val", 300, predict_seconds=60).orderBy(
+        "window_start"
+    ).collect()
+    assert fwd[-1]["predict"] == pytest.approx(fwd[-1]["val"] + 180.0, abs=1e-6)
+
+    # NaN sample excluded, not poisonous
+    nan_df = _tier(spark, [(0, 0), (1, 60), (2, float("nan")), (3, 180)])
+    got = linear_regression(nan_df, "val", 300).orderBy("window_start").collect()
+    assert got[-1]["slope"] == pytest.approx(1.0, abs=1e-9)
+
+    with pytest.raises(ValueError):
+        linear_regression(df, "val", 0)
