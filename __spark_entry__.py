@@ -278,6 +278,21 @@ def q_linreg_1h(spark, sf_dir):
     )
 
 
+def q_moving_stddev_1h(spark, sf_dir):
+    """Graphite movingStdDev: trailing 1h sample stddev over the 1m
+    tier — same RANGE-frame family as moving_avg_1h."""
+    from logtrics_spark.operators.rollup import rollup
+    from logtrics_spark.operators.series import moving_stddev
+
+    r = rollup(_events_points(spark, sf_dir), "1m")
+    m = moving_stddev(r, "avg", window_seconds=3600, out_col="mstd")
+    return m.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("mstd", 4).alias("mstd"),
+    )
+
+
 def q_error_ratio_1h(spark, sf_dir):
     """Graphite divideSeries as ONE conditional aggregation
     (series.py::ratio_series): per hour, the 'error' sources' share of
@@ -1258,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_ratio_1h": q_error_ratio_1h,
         "transform_chain_1h": q_transform_chain_1h,
         "linreg_1h": q_linreg_1h,
+        "moving_stddev_1h": q_moving_stddev_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "moving_avg_1h": q_moving_avg_1h,
         "counter_rate_1m": q_counter_rate_1m,
@@ -1954,6 +1970,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, ws,
                {_qsql('abs(COALESCE(v, 0)) * 8.0 + 1.0', 4)} AS v
         FROM d
+    """
+    sqls["moving_stddev_1h"] = f"""
+        WITH r AS (
+          SELECT event_type AS source,
+                 CAST(floor(extract(epoch FROM ts)/60)*60 AS BIGINT) AS ws,
+                 avg(value) AS a
+          FROM events GROUP BY 1, 2)
+        SELECT source, ws,
+               {_qsql('''stddev_samp(a) OVER (PARTITION BY source ORDER BY ws
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)''', 4)} AS mstd
+        FROM r
     """
     sqls["linreg_1h"] = f"""
         WITH h AS (

@@ -110,6 +110,7 @@ def main() -> None:
         "error_ratio_1h",
         "transform_chain_1h",
         "linreg_1h",
+        "moving_stddev_1h",
     ]:
         # best-of-K: the shared host shows episodic CPU-steal bursts
         # (BENCH/BASELINE.md caveat); noise only ever adds time, so the

@@ -47,7 +47,13 @@ def _series_window(key: list[str]) -> Window:
     return Window.partitionBy(*key).orderBy(F.col(_WS))
 
 
-_MOVING_AGGS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+_MOVING_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev_samp,
+}
 
 
 def _moving(
@@ -119,6 +125,19 @@ def moving_max(
 ) -> DataFrame:
     """Graphite ``movingMax`` — same trailing time-RANGE frame."""
     return _moving("max", tier_df, value_col, window_seconds, key, out_col, "mmax")
+
+
+def moving_stddev(
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``movingStdDev`` — trailing time-RANGE sample stddev
+    (the volatility band the z-score divides by, exposed standalone;
+    null for windows with < 2 samples, like every stddev_samp here)."""
+    return _moving("stddev", tier_df, value_col, window_seconds, key, out_col, "mstd")
 
 
 def derivative(

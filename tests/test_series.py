@@ -477,3 +477,15 @@ def test_linear_regression_recovers_trend(spark):
 
     with pytest.raises(ValueError):
         linear_regression(df, "val", 0)
+
+
+def test_moving_stddev_matches_samples(spark):
+    from logtrics_spark.operators.series import moving_stddev
+
+    df = _tier(spark, [(0, 1), (1, 3), (2, 5), (10, 7)])
+    out = moving_stddev(df, "val", window_seconds=180)
+    got = _vals(out, "mstd_val")
+    assert got[0] is None                       # 1 sample
+    assert got[1] == pytest.approx(2 ** 0.5)    # {1,3}
+    assert got[2] == pytest.approx(2.0)         # {1,3,5}
+    assert got[3] is None                       # gap: window holds only slot 10
