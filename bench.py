@@ -128,54 +128,87 @@ def main() -> None:
 
     # ---- delta vs the previous round's recorded bench -------------------
     # regressions must be mechanically visible: vs_prev[q] = t_now/t_prev
-    # at the same sf (>1 slower, <1 faster)
+    # at the same sf (>1 slower, <1 faster).  Prefer the full result files
+    # this script writes (BENCH/result_r{N}.json) — the driver's stdout
+    # capture truncated r4's line, so BENCH_r*.json "parsed" can be null.
     vs_prev: dict[str, float] = {}
     prev_name = None
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     import glob
     import re
 
-    cands = []
-    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            cands.append((int(m.group(1)), p))
-    if cands:
-        _, prev_path = max(cands)
-        prev_name = os.path.basename(prev_path)
+    def _round_files(pattern: str) -> list[tuple[int, str]]:
+        out = []
+        for p in glob.glob(os.path.join(repo_dir, pattern)):
+            m = re.search(r"_r(\d+)\.json$", p)
+            if m:
+                out.append((int(m.group(1)), p))
+        return out
+
+    driver_rounds = _round_files("BENCH_r*.json")
+    this_round = (max(n for n, _ in driver_rounds) + 1) if driver_rounds else 1
+    prev_cands = sorted(
+        _round_files(os.path.join("BENCH", "result_r*.json")) + driver_rounds,
+        # ascending; within a round the full result file sorts after the
+        # driver capture so reversed() tries it first
+        key=lambda t: (t[0], os.sep + "BENCH" + os.sep in t[1]),
+    )
+    for n, prev_path in reversed(prev_cands):
+        if n >= this_round:
+            continue
         try:
             with open(prev_path) as fh:
                 prev = json.load(fh)
-            prev = prev.get("parsed", prev)  # driver wraps the JSON line
-            if prev.get("sf") == sf:
-                pq = prev.get("queries", {})
+            prev = prev.get("parsed") or prev  # driver wraps the JSON line
+            if prev.get("sf") == sf and prev.get("queries"):
+                pq = prev["queries"]
                 vs_prev = {
                     k: round(t / pq[k], 3)
                     for k, t in timings.items()
                     if pq.get(k)
                 }
-        except (OSError, json.JSONDecodeError, ZeroDivisionError):
-            pass
+                prev_name = os.path.relpath(prev_path, repo_dir)
+                break
+        except Exception:
+            continue
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline wall-clock (token pipeline + driver queries)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "sf": sf,
-                "cpus": cpus,
-                "points_per_sec": extras["points_per_sec"],
-                "tok_rows": extras["tok_rows"],
-                "vs_prev": vs_prev,
-                "prev_bench": prev_name,
-                "timing": "queries best-of-3, tok pipeline best-of-2 (fresh store per attempt)",
-            }
-        )
-    )
+    result = {
+        "metric": "headline wall-clock (token pipeline + driver queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": sf,
+        "cpus": cpus,
+        "points_per_sec": extras["points_per_sec"],
+        "tok_rows": extras["tok_rows"],
+        "vs_prev": vs_prev,
+        "prev_bench": prev_name,
+        "timing": "queries best-of-3, tok pipeline best-of-2 (fresh store per attempt)",
+    }
+    # Full object to a file (machine-readable even if stdout is truncated);
+    # stdout gets a compact line (no rows/vs_prev) that fits the driver's
+    # capture window.
+    result_file = None
+    try:
+        result_file = os.path.join("BENCH", f"result_r{this_round}.json")
+        with open(os.path.join(repo_dir, result_file), "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        result_file = None
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "points_per_sec": extras["points_per_sec"],
+        "tok_rows": extras["tok_rows"],
+        "result_file": result_file,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
