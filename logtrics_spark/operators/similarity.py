@@ -79,22 +79,32 @@ def train_centroids(
     ``limit``, which takes whatever the first file yields — at 100 TB
     that is one time-/source-clustered slice and the centroids would be
     trained on a biased corner of the space, degrading IVF recall
-    corpus-wide).  For production-sized C, train with a distributed
-    k-means|| instead (e.g. Spark MLlib KMeans) and pass the centroids
-    straight to :func:`build_ivf_store`.
+    corpus-wide); the FULL ~2x Bernoulli sample is collected and then
+    subsampled to ``sample_rows`` with the seeded driver rng, so every
+    partition is represented (a ``limit`` after the sample would refill
+    from the earliest partitions and reintroduce the bias).  For
+    production-sized C, use :func:`train_centroids_distributed`
+    (k-means||) and pass the centroids straight to
+    :func:`build_ivf_index`.
     """
-    # Oversample ~2x the target rows so the post-sample limit() is a
-    # cheap truncation of an already-uniform stream; when the corpus is
-    # small the sample is the whole corpus.
+    # Oversample ~2x the target rows: the Bernoulli draw is uniform but
+    # its size is binomial, so 2x makes "fewer than sample_rows rows
+    # drawn" vanishingly unlikely; when the corpus is small the sample
+    # is the whole corpus.
     cnt = corpus.select(vec_col).count()
     frac = min(1.0, (2.0 * sample_rows) / max(cnt, 1))
     sampled = corpus.select(vec_col)
     if frac < 1.0:
         sampled = sampled.sample(fraction=frac, seed=seed)
     sample = np.array(
-        sampled.limit(sample_rows).toPandas()[vec_col].tolist(),
+        sampled.toPandas()[vec_col].tolist(),
         dtype=np.float64,
     )
+    if len(sample) > sample_rows:
+        keep = np.random.default_rng(seed).choice(
+            len(sample), size=sample_rows, replace=False
+        )
+        sample = sample[keep]
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):
@@ -105,6 +115,44 @@ def train_centroids(
             if len(pts):
                 cent[j] = pts.mean(0)
     return cent
+
+
+def train_centroids_distributed(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """k-means|| (Bahmani et al., VLDB'12) + distributed Lloyd's via
+    Spark MLlib KMeans — the production path for large centroid counts.
+
+    The corpus never materializes on the driver: MLlib's k-means||
+    init oversamples candidate centers across the cluster in O(log n)
+    passes and Lloyd's iterations are map-side assignment + reduce-side
+    mean per center, so this scales to the full 100 TB corpus where
+    :func:`train_centroids`'s bounded driver sample would under-resolve
+    a large C.  Returns the same ``(C, dim)`` ndarray shape as
+    ``train_centroids`` — drop-in for ``build_ivf_index``/``ivf_topk``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(
+        k=n_centroids,
+        maxIter=iters,
+        seed=seed,
+        initMode="k-means||",
+        featuresCol="features",
+    )
+    model = km.fit(feats)
+    # clusterCenters() yields numpy arrays (Spark 4) or ml Vectors
+    return np.array(
+        [np.asarray(getattr(c, "toArray", lambda: c)(), dtype=np.float64) for c in model.clusterCenters()]
+    )
 
 
 def _nearest_centroids_udf(centroids: np.ndarray, n: int):

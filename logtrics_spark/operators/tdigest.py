@@ -163,10 +163,15 @@ def _build_many(codes: np.ndarray, values: np.ndarray, compression: float):
     Per-group work after the vector pass is one C-level slice + header
     concat — no pandas groupby.apply, no per-point Python.
     """
+    all_codes = np.unique(codes)
     ok = ~np.isnan(values)
     codes, values = codes[ok], values[ok]
     if not len(values):
-        return []
+        # groups emptied by the NaN filter still emit (empty digest) so
+        # presketch mode yields the same window rows as direct mode,
+        # where collect_list keeps the group and build() drops the NaNs
+        empty = to_bytes(np.empty(0), np.empty(0), np.inf, -np.inf, compression)
+        return [(c, empty) for c in all_codes]
     order = np.lexsort((values, codes))
     g, v = codes[order], values[order]
     gstart = np.empty(len(g), dtype=bool)
@@ -190,6 +195,11 @@ def _build_many(codes: np.ndarray, values: np.ndarray, compression: float):
         lo = v[seg_idx[gi]]
         hi = v[seg_idx[gi] + sizes[gi] - 1]
         out.append((g[seg_idx[gi]], to_bytes(cm[a:b], cw[a:b], lo, hi, compression)))
+    if len(seg_idx) < len(all_codes):
+        # NaN-only groups (see the empty-batch branch above)
+        present = {c for c, _ in out}
+        empty = to_bytes(np.empty(0), np.empty(0), np.inf, -np.inf, compression)
+        out.extend((c, empty) for c in all_codes if c not in present)
     return out
 
 

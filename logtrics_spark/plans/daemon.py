@@ -170,6 +170,52 @@ class Daemon:
         self._seq_lock = threading.Lock()
         self._store_lock = threading.Lock()
 
+    def _store_guard(self):
+        """Serialize store mutations across threads AND processes.
+
+        ``_store_lock`` covers this process's streaming flushes; the
+        flock on ``<store_root>/.store.lock`` extends the exclusion to a
+        second Daemon constructed by the CLI ``compact``/``archive``
+        subcommands against a live daemon's store (otherwise their
+        read-then-dynamic-overwrite of a day partition can drop a
+        concurrent flush's files).  flock only applies to local store
+        paths; for remote stores (hdfs://, s3a://) the lock degrades to
+        in-process and multi-process exclusion is the deployment's job
+        (run compaction from the daemon itself via compact_every).
+        """
+        import contextlib
+        import os
+
+        @contextlib.contextmanager
+        def guard():
+            with self._store_lock:
+                fh = None
+                root = self.store_root
+                scheme = root.split("://", 1)[0] if "://" in root else ""
+                if scheme in ("", "file"):
+                    path = root.split("://", 1)[-1]
+                    try:
+                        import fcntl
+
+                        os.makedirs(path, exist_ok=True)
+                        fh = open(os.path.join(path, ".store.lock"), "a+")
+                        fcntl.flock(fh, fcntl.LOCK_EX)
+                    except OSError:
+                        # unwritable root: degrade to in-process only
+                        if fh is not None:
+                            fh.close()
+                        fh = None
+                try:
+                    yield
+                finally:
+                    if fh is not None:
+                        import fcntl
+
+                        fcntl.flock(fh, fcntl.LOCK_UN)
+                        fh.close()
+
+        return guard()
+
     def _next_flush_seq(self) -> int:
         """Monotonic snapshot stamp across all queries + driver drains.
 
@@ -206,15 +252,19 @@ class Daemon:
                 return
             from logtrics_spark.plans.pipeline import _day
 
-            out = (
-                batch_df.withColumn("day", _day("window_start"))
-                .withColumn("tier", F.lit(self.tier))
-                .withColumn("flush_seq", F.lit(self._next_flush_seq()))
-            )
             # store writes serialize across concurrently-flushing
             # streaming queries so compaction's read-then-rewrite can
-            # never race an append into a lost update
-            with self._store_lock:
+            # never race an append into a lost update.  The flush_seq is
+            # stamped INSIDE the lock: a compact() that beat this flush
+            # to the lock restamps the pre-flush snapshot with a seq
+            # drawn earlier than ours, so our rows still win latest-wins
+            # (stamping before the lock inverted that ordering).
+            with self._store_guard():
+                out = (
+                    batch_df.withColumn("day", _day("window_start"))
+                    .withColumn("tier", F.lit(self.tier))
+                    .withColumn("flush_seq", F.lit(self._next_flush_seq()))
+                )
                 self.io.write_partitioned(
                     out, "tiers", ["tier", "day"], overwrite_dynamic=False
                 )
@@ -307,7 +357,7 @@ class Daemon:
         """
         from logtrics_spark.plans.pipeline import _day
 
-        with self._store_lock:
+        with self._store_guard():
             if not self.io.exists("tiers"):
                 return {}
             tiers = tiers or self.io.list_partitions("tiers", "tier")
@@ -349,7 +399,7 @@ class Daemon:
                 f"archive job's finest tier {job.tiers[0]!r} must match "
                 f"the daemon's streamed tier {self.tier!r}"
             )
-        with self._store_lock:
+        with self._store_guard():
             if not self.io.exists(f"tiers/tier={self.tier}"):
                 return {}
             if before_day is None:

@@ -118,3 +118,68 @@ def test_mg_exact_when_cardinality_fits(spark):
 def test_mg_cascade_validation(spark):
     with pytest.raises(ValueError):
         mg_cascade(None, "1h", "1m")
+
+
+def test_mg_presketch_high_cardinality_bounds(spark):
+    """presketch mode with window cardinality >> k: PODS'12 guarantee
+    holds (est <= true <= est + err, mass exact, heavy items survive)
+    and the plan shows the map-side partial (MapInPandas) instead of
+    funnelling the window's full distinct set through one
+    collect_list task."""
+    rng = np.random.default_rng(7)
+    ids = (rng.zipf(1.5, 30_000) % 5000).astype(np.int64)
+    pdf = pd.DataFrame(
+        {
+            "source": "web",
+            "metric": "req",
+            "kind": "counter",
+            "ts": BASE,
+            "user": ids,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    k = 64
+    pre_df = mg_rollup(df, "1h", "user", k=k, presketch=True)
+    plan = pre_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    rows = pre_df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["total_n"] == len(pdf)  # exact mass through partials
+    assert len(r["items"]) <= k
+    true = pd.Series(ids.astype(str)).value_counts()
+    est = dict(zip(r["items"], r["counts"]))
+    for item, e in est.items():
+        assert e <= true[item], (item, e, true[item])
+    for item, tc in true.items():
+        assert tc - est.get(item, 0) <= r["err"], (item, tc)
+        if tc > r["err"]:
+            assert item in est, (item, tc, r["err"])
+    # err bookkeeping sane: bounded by total mass
+    assert 0 < r["err"] <= len(pdf)
+
+    # direct mode funnels the distinct set; presketch must not
+    direct_plan = (
+        mg_rollup(df, "1h", "user", k=k)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in direct_plan
+
+
+def test_mg_presketch_agrees_with_direct_when_exact(spark):
+    """k >= cardinality: both modes are exact and identical (the same
+    items, the same counts, err 0) regardless of batching."""
+    df, pdf = _points(spark)
+    k = 1024
+    d = mg_rollup(df, "1m", "user", k=k)
+    p = mg_rollup(df, "1m", "user", k=k, presketch=True)
+    drows = {tuple(r[c] for c in ("source", "metric", "kind", "window_start")): r for r in d.collect()}
+    prows = {tuple(r[c] for c in ("source", "metric", "kind", "window_start")): r for r in p.collect()}
+    assert drows.keys() == prows.keys()
+    for key, dr in drows.items():
+        pr = prows[key]
+        assert dr["err"] == pr["err"] == 0
+        assert dict(zip(dr["items"], dr["counts"])) == dict(zip(pr["items"], pr["counts"]))
+        assert dr["total_n"] == pr["total_n"]

@@ -175,3 +175,28 @@ def test_presketch_mode_agrees_with_direct(spark):
     for q in (0.5, 0.95, 0.99):
         est = td.tdigest_quantiles(pre, [q]).collect()[0][-1]
         assert _rank_error(allv, est, q) <= 0.02
+
+
+def test_presketch_emits_nan_only_windows_like_direct(spark):
+    """A window whose values are ALL NaN: direct mode keeps the group
+    (collect_list) and builds an empty digest; presketch must emit the
+    same row instead of dropping the group at the NaN filter."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "source": ["a"] * 3 + ["b"] * 3,
+            "metric": "m",
+            "kind": "timer",
+            "ts": pd.Timestamp("2024-01-01 00:00:30"),
+            "value": [float("nan")] * 3 + [1.0, 2.0, float("nan")],
+        }
+    )
+    df = spark.createDataFrame(rows).repartition(3)
+    direct = td.tdigest_stats(td.tdigest_rollup(df, "1m")).collect()
+    pre = td.tdigest_stats(td.tdigest_rollup(df, "1m", presketch=True)).collect()
+    dmap = {r["source"]: r for r in direct}
+    pmap = {r["source"]: r for r in pre}
+    assert set(dmap) == set(pmap) == {"a", "b"}
+    assert dmap["a"]["cnt"] == pmap["a"]["cnt"] == 0
+    assert dmap["b"]["cnt"] == pmap["b"]["cnt"] == 2

@@ -478,3 +478,28 @@ def test_train_centroids_samples_across_partitions(spark):
     cents = train_centroids(df, n_centroids=2, sample_rows=100, seed=3)
     signs = sorted(np.sign(cents.mean(axis=1)))
     assert signs == [-1.0, 1.0], f"both clusters must be sampled, got {cents.mean(axis=1)}"
+
+
+def test_train_centroids_distributed_kmeans_parallel(spark, embs):
+    """k-means|| path (MLlib): centroids come back as (C, dim) numpy
+    without the corpus ever hitting the driver, and they drop into the
+    same IVF query path as the sampled trainer."""
+    from logtrics_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_centroids_distributed,
+    )
+
+    dim = len(embs.select("embedding").first()[0])
+    cent = train_centroids_distributed(embs, n_centroids=64, iters=3, seed=7)
+    assert cent.shape == (64, dim)
+    assert np.isfinite(cent).all()
+
+    q = embs.limit(3)
+    # nprobe = C degenerates to exact: must match brute force
+    approx = ivf_topk(embs, q, k=5, nprobe=64, centroids=cent).toPandas()
+    exact = cosine_topk(embs, q, k=5).toPandas()
+    key = ["query_id", "rank"]
+    a = approx.sort_values(key).reset_index(drop=True)
+    e = exact.sort_values(key).reset_index(drop=True)
+    assert (a["id"] == e["id"]).all()
