@@ -657,3 +657,102 @@ def linear_regression(
         .withColumn("predict", slope * pred_x + F.col("intercept"))
         .drop(_WS, "_x")
     )
+
+
+# --------------------------------------------------- name-based selection
+#
+# Graphite's dashboard staples for picking and re-labelling series by
+# their dotted path (grep/exclude/alias/aliasByNode/groupByNode, all
+# from Graphite-web's public functions.py).  A series' name here is the
+# dot-join of its key columns (the graphite sink emits
+# ``prefix.source.metric[.field]`` — sinks/graphite.py:129), so these
+# are pure one-projection Catalyst ops: a regex filter pushes down to
+# the scan, and groupByNode is an ordinary partial-agg groupBy on a
+# derived column.
+
+
+def _series_name(name_cols: list[str] | None, prefix: str | None = None):
+    cols = name_cols or ["source", "metric"]
+    parts = ([F.lit(prefix)] if prefix else []) + [F.col(c) for c in cols]
+    return F.concat_ws(".", *parts)
+
+
+def grep_series(
+    tier_df: DataFrame,
+    pattern: str,
+    name_cols: list[str] | None = None,
+    exclude: bool = False,
+) -> DataFrame:
+    """Graphite ``grep(seriesList, pattern)``: keep only series whose
+    dotted name matches the regex (``rlike`` = unanchored search, the
+    same semantics as Graphite's ``re.search``).  The filter is a plain
+    Catalyst predicate on the key columns, so it reaches the scan as a
+    pushed filter and prunes before any shuffle."""
+    cond = _series_name(name_cols).rlike(pattern)
+    return tier_df.where(~cond if exclude else cond)
+
+
+def exclude_series(
+    tier_df: DataFrame, pattern: str, name_cols: list[str] | None = None
+) -> DataFrame:
+    """Graphite ``exclude(seriesList, pattern)``: drop matching series
+    (the complement of :func:`grep_series`)."""
+    return grep_series(tier_df, pattern, name_cols, exclude=True)
+
+
+def alias_series(
+    tier_df: DataFrame, name: str, name_cols: list[str] | None = None
+) -> DataFrame:
+    """Graphite ``alias(seriesList, name)``: replace the series identity
+    with one literal display name — the name-forming key columns
+    collapse into a single ``series`` column; rows and windows are
+    untouched (combine with ``aggregate_series`` first when several
+    series share the alias, exactly as in Graphite)."""
+    cols = name_cols or ["source", "metric"]
+    keep = [c for c in tier_df.columns if c not in cols]
+    return tier_df.select(F.lit(name).alias("series"), *keep)
+
+
+def alias_by_node(
+    tier_df: DataFrame,
+    nodes: list[int],
+    name_cols: list[str] | None = None,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Graphite ``aliasByNode(seriesList, *nodes)``: rebuild the display
+    name from the selected 0-based dot-path components (e.g. nodes=[1]
+    turns ``logtrics.web01.req.count`` into ``web01``)."""
+    if not nodes:
+        raise ValueError("aliasByNode needs at least one node index")
+    full = F.split(_series_name(name_cols, prefix), r"\.")
+    picked = F.concat_ws(".", *[F.element_at(full, n + 1) for n in nodes])
+    cols = name_cols or ["source", "metric"]
+    keep = [c for c in tier_df.columns if c not in cols]
+    return tier_df.select(picked.alias("series"), *keep)
+
+
+def group_by_node(
+    tier_df: DataFrame,
+    node: int,
+    value_col: str,
+    how: str = "sum",
+    name_cols: list[str] | None = None,
+    prefix: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``groupByNode(seriesList, node, callback)``: all series
+    sharing the ``node``-th name component collapse into one series per
+    window, combined by ``callback`` (sum/avg/min/max/...).
+
+    One partial-agg groupBy on (derived node, window_start) — the map
+    side combines before the exchange, and cardinality is bounded by
+    distinct node values x windows (registry-sized, never data-sized).
+    """
+    if how not in _SERIES_COMBINE:
+        raise ValueError(f"how must be one of {sorted(_SERIES_COMBINE)}, got {how!r}")
+    full = F.split(_series_name(name_cols, prefix), r"\.")
+    part = F.element_at(full, node + 1)
+    out = out_col or f"{how}_{value_col}"
+    return tier_df.groupBy(part.alias("series"), "window_start").agg(
+        _SERIES_COMBINE[how](value_col).alias(out)
+    )

@@ -489,3 +489,59 @@ def test_moving_stddev_matches_samples(spark):
     assert got[1] == pytest.approx(2 ** 0.5)    # {1,3}
     assert got[2] == pytest.approx(2.0)         # {1,3,5}
     assert got[3] is None                       # gap: window holds only slot 10
+
+
+def test_name_selection_grep_exclude(spark):
+    from logtrics_spark.operators.series import exclude_series, grep_series
+
+    df = _tier(spark, [("web01", 0, 1), ("web02", 0, 2), ("db01", 0, 3)])
+    # name = '<source>.m' (metric col is 'm')
+    assert {r["source"] for r in grep_series(df, "^web").collect()} == {"web01", "web02"}
+    assert {r["source"] for r in exclude_series(df, "^web").collect()} == {"db01"}
+    # unanchored search, like Graphite's re.search
+    assert grep_series(df, "b0").count() == 3
+    # filter is a Catalyst predicate: pushes to the scan, no UDF stage
+    plan = grep_series(df, "^web")._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_alias_series_and_by_node(spark):
+    from logtrics_spark.operators.series import alias_by_node, alias_series
+
+    df = _tier(spark, [("web01", 0, 1), ("web02", 1, 2)])
+    a = alias_series(df, "all-web")
+    assert set(a.columns) == {"series", "kind", "window_start", "val"}
+    assert {r["series"] for r in a.collect()} == {"all-web"}
+    assert a.count() == 2  # rows/windows untouched
+
+    b = alias_by_node(df, [0], prefix="logtrics")
+    # prefix occupies node 0
+    assert {r["series"] for r in b.collect()} == {"logtrics"}
+    c = alias_by_node(df, [0, 1])  # no prefix: source.metric
+    assert {r["series"] for r in c.collect()} == {"web01.m", "web02.m"}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        alias_by_node(df, [])
+
+
+def test_group_by_node_collapses_and_aggregates(spark):
+    from logtrics_spark.operators.series import group_by_node
+
+    df = _tier(
+        spark,
+        [("web01", 0, 1), ("web02", 0, 2), ("db01", 0, 30), ("web01", 1, 5)],
+    )
+    # node 1 = metric ('m' for all) -> one series per window, summed
+    g = group_by_node(df, 1, "val", how="sum").orderBy("window_start").collect()
+    assert [(r["series"], r["sum_val"]) for r in g] == [("m", 33.0), ("m", 5.0)]
+    # node 0 = source -> per-source grouping (identity here), max
+    g0 = group_by_node(df, 0, "val", how="max", out_col="mx")
+    got = {(r["series"], r["window_start"].minute): r["mx"] for r in g0.collect()}
+    assert got[("web01", 0)] == 1.0 and got[("db01", 0)] == 30.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        group_by_node(df, 0, "val", how="median")
