@@ -108,6 +108,7 @@ def main() -> None:
         "tdigest_1h",
         "mg_topk_1h",
         "error_ratio_1h",
+        "series_select_1h",
         "transform_chain_1h",
         "linreg_1h",
         "moving_stddev_1h",

@@ -60,6 +60,9 @@ TOML_TOP_KEYS = {
     "udp",
     "tcp",
     "logging",
+    # engine-side extension table (not in the reference's surface):
+    # mergeable sketch tiers for the daemon store (plans/daemon.py)
+    "sketches",
 }
 VALID_MODES = {"console", "udp", "tcp", "file"}  # + our filetail (S4)
 VALID_LOG_LEVELS = {"fatal", "error", "warn", "info", "debug", "trace"}

@@ -58,6 +58,43 @@ from logtrics_spark.streaming.rollup_stream import rollup_stream
 
 logger = logging.getLogger("logtrics_spark.daemon")
 
+# sketch-kind -> its summary value columns (everything else is key)
+_SK_VALS = {
+    "tdigest": ["tdigest"],
+    "mg": ["items", "counts", "err", "total_n"],
+    "hll": ["hll"],
+}
+
+
+def _resolve_sketch_versions(df: DataFrame, val_cols: list[str]) -> DataFrame:
+    """Collapse a sketch table's stored versions to one contribution row
+    per (series, window, contribution):
+
+    - snapshot rows (``origin`` drain/cascade — cumulative re-emissions,
+      like the scalar tiers): latest-wins per series+window by
+      ``flush_seq``;
+    - stream rows (append-only per-micro-batch partials): dedupe
+      at-least-once replays per (batch_seq, series, window) — a retried
+      foreachBatch re-appends the same partial under the same batch id.
+
+    The survivors are CONTRIBUTIONS, not final rows: merge them per
+    window afterwards (same-tier cascade) — drain snapshots and stream
+    partials cover disjoint underlying line sources, so merging is the
+    union of disjoint event sets.
+    """
+    keys = [c for c in ("source", "metric", "kind", "window_start") if c in df.columns]
+    picks = [F.max_by(c, "flush_seq").alias(c) for c in val_cols]
+    snap = (
+        df.where(F.col("origin") != "stream").groupBy(*keys).agg(*picks)
+    )
+    stream = (
+        df.where(F.col("origin") == "stream")
+        .groupBy("batch_seq", *keys)
+        .agg(*picks)
+        .select(*keys, *val_cols)
+    )
+    return snap.unionByName(stream)
+
 
 def resolve_latest(tier_df: DataFrame) -> DataFrame:
     """Latest-wins view of a snapshot-flush (daemon) tier table: one row
@@ -165,6 +202,19 @@ class Daemon:
         self._flush_floor_loaded = False
         self.compact_every = int(g.get("compact_every", 0) or 0)
         self._flushes_since_compact = 0
+        # mergeable sketch tiers alongside the scalar tiers (config
+        # [sketches] enabled = ["tdigest", "mg", "hll"]): the live store
+        # then answers post-retention percentiles / top-k / distinct
+        # the way the batch path's sketch tables do (test_sketch_store)
+        sk = self.conf.get("sketches", {}) or {}
+        self.sketch_kinds: list[str] = list(sk.get("enabled", []) or [])
+        bad = set(self.sketch_kinds) - set(_SK_VALS)
+        if bad:
+            raise ValueError(f"unknown sketch kinds {sorted(bad)}; pick from {sorted(_SK_VALS)}")
+        self.sketch_item_col = sk.get("item_col", "value")
+        self.sketch_mg_k = int(sk.get("mg_k", 256))
+        self.sketch_compression = float(sk.get("compression", 200.0))
+        self.sketch_lg_k = int(sk.get("lg_config_k", 12))
         import threading
 
         self._seq_lock = threading.Lock()
@@ -306,6 +356,33 @@ class Daemon:
             writer = writer.trigger(processingTime=f"{self.interval} seconds")
         q = writer.start()
         self.queries.append(q)
+        if self.sketch_kinds:
+            # sketches need the raw POINTS (a t-digest cannot be built
+            # from scalar tier rows), so they get their own stateless
+            # append stream writing per-batch partials.  Only replayable
+            # sources support a second consumer: a socket source would
+            # split its lines between the two queries.
+            if name == "file":
+                sk_writer = (
+                    points.writeStream.outputMode("append")
+                    .queryName(f"logtrics-{name}-sketches")
+                    .option("checkpointLocation", f"{ckpt}_sketches")
+                    .foreachBatch(self._sketch_sink)
+                )
+                if once:
+                    sk_writer = sk_writer.trigger(availableNow=True)
+                else:
+                    sk_writer = sk_writer.trigger(
+                        processingTime=f"{self.interval} seconds"
+                    )
+                self.queries.append(sk_writer.start())
+            else:
+                logger.warning(
+                    "sketch tiers are not collected from the %s stream "
+                    "(non-replayable source); use file mode or the drain "
+                    "paths for sketch coverage",
+                    name,
+                )
         return q
 
     # ------------------------------------------------ driver-side modes
@@ -315,13 +392,110 @@ class Daemon:
 
         The udp collector drains CUMULATIVELY (all datagrams so far), so
         repeated drains are snapshot versions exactly like streaming
-        update emissions — latest-wins resolves them.
+        update emissions — latest-wins resolves them (sketch rows from
+        this path carry origin='drain' and resolve the same way).
         """
-        tier_rows = rollup(self.engine.run(lines), self.tier).localCheckpoint()
+        points = self.engine.run(lines).localCheckpoint()
+        tier_rows = rollup(points, self.tier).localCheckpoint()
         n = tier_rows.count()
         if n:
             self._sink(tier_rows, batch_id=-1)
+            if self.sketch_kinds:
+                self._write_sketches(points, origin="drain")
         return n
+
+    # --------------------------------------------------- sketch tiers
+    def _sketch_rollup(self, points: DataFrame, name: str) -> DataFrame:
+        """Finest-tier sketch rows for one kind from raw points."""
+        from logtrics_spark.operators.heavyhitters import mg_rollup
+        from logtrics_spark.operators.rollup import set_sketch_rollup
+        from logtrics_spark.operators.tdigest import tdigest_rollup
+
+        if name == "tdigest":
+            return tdigest_rollup(points, self.tier, compression=self.sketch_compression)
+        if name == "mg":
+            return mg_rollup(points, self.tier, self.sketch_item_col, k=self.sketch_mg_k)
+        # HLL identity is the item's STRING form: hll_sketch_agg accepts
+        # int/long/string/binary only (a double item_col — the point
+        # schema's default value column — would fail analysis), and the
+        # cast keeps identity consistent across every flush and merge
+        pts = points.withColumn(
+            self.sketch_item_col, F.col(self.sketch_item_col).cast("string")
+        )
+        return set_sketch_rollup(
+            pts, self.tier, self.sketch_item_col, lg_config_k=self.sketch_lg_k
+        )
+
+    def _sketch_cascade(
+        self, name: str, df: DataFrame, fine_tier: str, coarse_tier: str
+    ) -> DataFrame:
+        """Merge sketch rows tier-to-tier (fine == coarse consolidates
+        same-window contributions — all three summaries are mergeable)."""
+        from logtrics_spark.operators.heavyhitters import mg_cascade
+        from logtrics_spark.operators.rollup import set_sketch_cascade
+        from logtrics_spark.operators.tdigest import tdigest_cascade
+
+        if name == "tdigest":
+            return tdigest_cascade(df, fine_tier, coarse_tier)
+        if name == "mg":
+            return mg_cascade(df, fine_tier, coarse_tier, k=self.sketch_mg_k)
+        return set_sketch_cascade(df, fine_tier, coarse_tier)
+
+    def _write_sketch_rows(
+        self, name: str, rows: DataFrame, tier: str, origin: str, batch_seq: int = -1
+    ) -> None:
+        from logtrics_spark.plans.pipeline import _day
+
+        with self._store_guard():
+            out = (
+                rows.withColumn("day", _day("window_start"))
+                .withColumn("tier", F.lit(tier))
+                .withColumn("origin", F.lit(origin))
+                .withColumn("batch_seq", F.lit(int(batch_seq)))
+                .withColumn("flush_seq", F.lit(self._next_flush_seq()))
+            )
+            self.io.write_partitioned(
+                out, f"sk_{name}", ["tier", "day"], overwrite_dynamic=False
+            )
+
+    def _write_sketches(
+        self, points: DataFrame, origin: str, batch_seq: int = -1
+    ) -> None:
+        """Build + append finest-tier sketch rows for every enabled kind.
+
+        ``origin='drain'`` rows are cumulative snapshots (latest-wins,
+        like the scalar flush path); ``origin='stream'`` rows are
+        per-micro-batch partials deduped by ``batch_seq`` and merged on
+        read — partial sketches are exactly what makes the mergeable
+        trio safe to append without streaming state.
+        """
+        for name in self.sketch_kinds:
+            self._write_sketch_rows(
+                name, self._sketch_rollup(points, name), self.tier, origin, batch_seq
+            )
+
+    def _sketch_sink(self, points_batch: DataFrame, batch_id: int) -> None:
+        points_batch = points_batch.persist()
+        try:
+            if points_batch.isEmpty():
+                return
+            self._write_sketches(points_batch, origin="stream", batch_seq=batch_id)
+        finally:
+            points_batch.unpersist()
+
+    def read_sketch(self, name: str, tier: str | None = None) -> DataFrame:
+        """Consolidated sketch rows for one kind+tier: one row per
+        series+window (versions resolved, contributions merged)."""
+        if name not in _SK_VALS:
+            raise ValueError(f"unknown sketch kind {name!r}; pick from {sorted(_SK_VALS)}")
+        tier = tier or self.tier
+        if not self.io.exists(f"sk_{name}/tier={tier}"):
+            raise ValueError(
+                f"store {self.store_root!r} has no sk_{name} tier={tier} rows yet"
+            )
+        df = self.io.read(f"sk_{name}/tier={tier}").drop("day")
+        resolved = _resolve_sketch_versions(df, _SK_VALS[name])
+        return self._sketch_cascade(name, resolved, tier, tier)
 
     # ------------------------------------------------------------- read
     def read_tier_latest(self, tier: str | None = None) -> DataFrame:
@@ -371,6 +545,37 @@ class Daemon:
                 )
                 self.io.write_partitioned(out, "tiers", ["tier", "day"])
                 counts[t] = latest.count()
+            # sketch tables: snapshot rows (drain/cascade — one full
+            # re-emission per flush tick, the unbounded class) collapse
+            # to latest-wins; stream partials are kept VERBATIM — their
+            # count is bounded by micro-batches per window, and merging
+            # them away would break the (batch_seq, window) dedupe that
+            # makes at-least-once replays safe.
+            for name in self.sketch_kinds:
+                if not self.io.exists(f"sk_{name}"):
+                    continue
+                for t in self.io.list_partitions(f"sk_{name}", "tier"):
+                    df = self.io.read(f"sk_{name}/tier={t}").drop("day").localCheckpoint()
+                    keys = [
+                        c for c in ("source", "metric", "kind", "window_start")
+                        if c in df.columns
+                    ]
+                    vals = _SK_VALS[name]
+                    snap = (
+                        df.where(F.col("origin") != "stream")
+                        .groupBy(*keys)
+                        .agg(*[F.max_by(c, "flush_seq").alias(c) for c in vals])
+                        .withColumn("origin", F.lit("compact"))
+                        .withColumn("batch_seq", F.lit(-1))
+                        .withColumn("flush_seq", F.lit(self._next_flush_seq()))
+                    )
+                    stream = df.where(F.col("origin") == "stream")
+                    out = snap.unionByName(stream.select(*snap.columns))
+                    out = out.withColumn("day", _day("window_start")).withColumn(
+                        "tier", F.lit(t)
+                    )
+                    self.io.write_partitioned(out, f"sk_{name}", ["tier", "day"])
+                    counts[f"sk_{name}:{t}"] = out.count()
             self._flushes_since_compact = 0
             return counts
 
@@ -413,6 +618,38 @@ class Daemon:
             if closed.isEmpty():
                 return {}
             stats = job.seal_from_fine(closed)
+            # sketch handoff mirrors seal_from_fine: consolidate the
+            # closed fine sketch rows, MERGE up every archival tier
+            # (sketches cascade, they are never rebuilt from raw), land
+            # all of it in the job's store, and only then drop the live
+            # head's closed sketch partitions — same crash-safety order
+            # as the scalar path.
+            for name in self.sketch_kinds:
+                if not self.io.exists(f"sk_{name}/tier={self.tier}"):
+                    continue
+                fine_sk = (
+                    self.read_sketch(name)
+                    .where(_day("window_start") < before_day)
+                    .localCheckpoint()
+                )
+                if fine_sk.isEmpty():
+                    continue
+                sprev, sprev_tier = fine_sk, self.tier
+                frames = [(self.tier, fine_sk)]
+                for t in job.tiers[1:]:
+                    scur = self._sketch_cascade(name, sprev, sprev_tier, t).localCheckpoint()
+                    frames.append((t, scur))
+                    sprev, sprev_tier = scur, t
+                for t, fdf in frames:
+                    out = fdf.withColumn("day", _day("window_start")).withColumn(
+                        "tier", F.lit(t)
+                    )
+                    job.io.write_partitioned(out, f"sk_{name}", ["tier", "day"])
+                    stats[f"sk_{name}:{t}"] = fdf.count()
+                for t in self.io.list_partitions(f"sk_{name}", "tier"):
+                    for day in self.io.list_partitions(f"sk_{name}/tier={t}", "day"):
+                        if day < before_day:
+                            self.io.drop_partition(f"sk_{name}/tier={t}", day=day)
             for t in self.io.list_partitions("tiers", "tier"):
                 for day in self.io.list_partitions(f"tiers/tier={t}", "day"):
                     if day < before_day:
@@ -450,6 +687,19 @@ class Daemon:
             self.io.write_partitioned(out, "tiers", ["tier", "day"], overwrite_dynamic=False)
             counts[t] = cur.count()
             prev, prev_tier = cur, t
+        # sketch tiers ride the same cascade: coarser windows get MERGED
+        # summaries (never re-built from raw), written as snapshot rows
+        # (origin='cascade') so reruns converge latest-wins like scalars
+        for name in self.sketch_kinds:
+            if not self.io.exists(f"sk_{name}/tier={self.tier}"):
+                continue
+            sprev = self.read_sketch(name).localCheckpoint()
+            sprev_tier = self.tier
+            for t in tiers[1:]:
+                scur = self._sketch_cascade(name, sprev, sprev_tier, t).localCheckpoint()
+                self._write_sketch_rows(name, scur, t, origin="cascade")
+                counts[f"sk_{name}:{t}"] = scur.count()
+                sprev, sprev_tier = scur, t
         return counts
 
     def drain_udp(self) -> int:
