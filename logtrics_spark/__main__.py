@@ -119,16 +119,30 @@ def _cmd_alerts(args) -> int:
     return 0
 
 
+def _load_conf_opt(args) -> dict:
+    """Optional --config TOML for housekeeping commands: carries the
+    deployment's [sketches] parameters (mg_k, compression...); without
+    it, sketch tables are auto-detected and merged with defaults."""
+    if getattr(args, "config", None):
+        from logtrics_spark.config import load_toml
+
+        return load_toml(args.config)
+    return {}
+
+
 def _cmd_compact(args) -> int:
     """Latest-wins compaction of a daemon live store: each tier's day
     partitions are rewritten to one snapshot version, dropping
     superseded flush_seq history (the run-mode daemon can also do this
-    itself every N flushes via graphite.compact_every)."""
+    itself every N flushes via graphite.compact_every).  Sketch tables
+    (sk_*) are compacted too — snapshot versions collapse, stream
+    partials are preserved.  Safe against a LIVE daemon: both sides
+    flock <store>/.store.lock."""
     from logtrics_spark.api import Engine
     from logtrics_spark.plans.daemon import Daemon
 
     spark, own = _get_session("logtrics-compact")
-    d = Daemon(spark, {}, Engine(), args.store)
+    d = Daemon(spark, _load_conf_opt(args), Engine(), args.store)
     counts = d.compact(args.tiers.split(",") if args.tiers else None)
     print(json.dumps({"compacted": counts}))
     if own:
@@ -138,19 +152,71 @@ def _cmd_compact(args) -> int:
 
 def _cmd_archive(args) -> int:
     """Seal the live store's closed days into a batch archival store
-    (tiers + Gorilla chunks + lineage) and drop them from the live
-    head — the daemon owns the open day, the RollupJob owns history."""
+    (tiers + Gorilla chunks + lineage, plus cascaded sk_* sketch
+    tables) and drop them from the live head — the daemon owns the open
+    day, the RollupJob owns history."""
     from logtrics_spark.api import Engine
     from logtrics_spark.plans.daemon import Daemon
     from logtrics_spark.plans.pipeline import RollupJob
 
     spark, own = _get_session("logtrics-archive")
     tiers = args.tiers.split(",") if args.tiers else None
-    conf = {"graphite": {"tiers": tiers}} if tiers else {}
+    conf = _load_conf_opt(args)
+    if tiers:
+        conf.setdefault("graphite", {})["tiers"] = tiers
     d = Daemon(spark, conf, Engine(), args.store)
     job = RollupJob(spark, args.archive_store, tiers=tiers)
     stats = d.archive_closed_days(job, before_day=args.before_day)
     print(json.dumps({"sealed_units": stats}))
+    if own:
+        spark.stop()
+    return 0
+
+
+def _cmd_sketch(args) -> int:
+    """Answer percentile / top-k / distinct queries from a store's
+    mergeable sketch tables — the post-retention read path: works
+    against a LIVE daemon store (versions resolved, contributions
+    merged) and against an ARCHIVED RollupJob store (final rows)
+    identically, long after the raw points and fine tiers are gone."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
+
+    from logtrics_spark.api import Engine
+    from logtrics_spark.plans.daemon import _SK_VALS, Daemon
+    from logtrics_spark.storage.tableio import ParquetTableIO
+
+    spark, own = _get_session("logtrics-sketch")
+    io = ParquetTableIO(spark, args.store)
+    if not io.exists(f"sk_{args.kind}/tier={args.tier}"):
+        print(f"no sk_{args.kind} tier={args.tier} in {args.store}", file=sys.stderr)
+        if own:
+            spark.stop()
+        return 2
+    probe = io.read(f"sk_{args.kind}/tier={args.tier}").drop("day")
+    if "origin" in probe.columns:  # live daemon store
+        d = Daemon(spark, _load_conf_opt(args), Engine(), args.store)
+        rows = d.read_sketch(args.kind, args.tier)
+    else:  # archived store: already one final row per window
+        rows = probe
+    key_cols = [c for c in ("source", "metric", "kind", "window_start") if c in rows.columns]
+    if args.kind == "tdigest":
+        from logtrics_spark.operators.tdigest import tdigest_quantiles
+
+        name = "p" + ("%g" % (args.q * 100)).replace(".", "")
+        out = tdigest_quantiles(rows, [args.q]).select(*key_cols, name)
+    elif args.kind == "mg":
+        from logtrics_spark.operators.heavyhitters import mg_topk
+
+        out = mg_topk(rows, n=args.n).select(
+            *key_cols, "item", "est_count", "err", "total_n", "rank"
+        )
+    else:
+        from logtrics_spark.operators.rollup import set_sketch_estimate
+
+        out = set_sketch_estimate(rows).select(*key_cols, "cnt_distinct")
+    for r in out.orderBy(*key_cols).limit(args.limit).collect():
+        print(json.dumps({k: str(v) if not isinstance(v, (int, float)) else v
+                          for k, v in r.asDict().items()}))
     if own:
         spark.stop()
     return 0
@@ -223,6 +289,7 @@ def main(argv: list[str] | None = None) -> int:
     k = sub.add_parser("compact", help="latest-wins compaction of a daemon live store")
     k.add_argument("--store", required=True, help="live tier store root")
     k.add_argument("--tiers", help="comma list (default: every tier in the store)")
+    k.add_argument("--config", help="deployment TOML (for [sketches] merge params)")
     k.set_defaults(fn=_cmd_compact)
 
     h = sub.add_parser("archive", help="seal closed live-store days into an archival store")
@@ -230,7 +297,18 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--archive-store", required=True, help="RollupJob store root")
     h.add_argument("--tiers", help="comma list, default 1m,5m,1h,1d (finest must match the live tier)")
     h.add_argument("--before-day", help="archive days < this yyyy-MM-dd (default: the open day)")
+    h.add_argument("--config", help="deployment TOML (for [sketches] merge params)")
     h.set_defaults(fn=_cmd_archive)
+
+    q = sub.add_parser("sketch", help="percentile/top-k/distinct from stored sketch tiers")
+    q.add_argument("--store", required=True, help="live daemon store OR archived RollupJob store")
+    q.add_argument("--kind", required=True, choices=["tdigest", "mg", "hll"])
+    q.add_argument("--tier", default="1h")
+    q.add_argument("--q", type=float, default=0.95, help="quantile (tdigest)")
+    q.add_argument("--n", type=int, default=10, help="top-n (mg)")
+    q.add_argument("--limit", type=int, default=50)
+    q.add_argument("--config", help="deployment TOML (for [sketches] merge params)")
+    q.set_defaults(fn=_cmd_sketch)
 
     c = sub.add_parser("config-check", help="validate a reference-shaped TOML")
     c.add_argument("path")

@@ -483,6 +483,17 @@ class Daemon:
         finally:
             points_batch.unpersist()
 
+    def _sketch_kinds_effective(self) -> list[str]:
+        """Configured sketch kinds, or — for housekeeping entry points
+        invoked WITHOUT the daemon's TOML (the CLI compact/archive
+        construct a bare Daemon) — the kinds whose tables exist in the
+        store, so sketch tiers are never silently skipped.  Merge
+        parameters then take defaults; pass the deployment's config to
+        the CLI when it customizes mg_k/compression."""
+        if self.sketch_kinds:
+            return self.sketch_kinds
+        return [k for k in _SK_VALS if self.io.exists(f"sk_{k}")]
+
     def read_sketch(self, name: str, tier: str | None = None) -> DataFrame:
         """Consolidated sketch rows for one kind+tier: one row per
         series+window (versions resolved, contributions merged)."""
@@ -551,7 +562,7 @@ class Daemon:
             # count is bounded by micro-batches per window, and merging
             # them away would break the (batch_seq, window) dedupe that
             # makes at-least-once replays safe.
-            for name in self.sketch_kinds:
+            for name in self._sketch_kinds_effective():
                 if not self.io.exists(f"sk_{name}"):
                     continue
                 for t in self.io.list_partitions(f"sk_{name}", "tier"):
@@ -624,7 +635,7 @@ class Daemon:
             # all of it in the job's store, and only then drop the live
             # head's closed sketch partitions — same crash-safety order
             # as the scalar path.
-            for name in self.sketch_kinds:
+            for name in self._sketch_kinds_effective():
                 if not self.io.exists(f"sk_{name}/tier={self.tier}"):
                     continue
                 fine_sk = (
@@ -690,7 +701,7 @@ class Daemon:
         # sketch tiers ride the same cascade: coarser windows get MERGED
         # summaries (never re-built from raw), written as snapshot rows
         # (origin='cascade') so reruns converge latest-wins like scalars
-        for name in self.sketch_kinds:
+        for name in self._sketch_kinds_effective():
             if not self.io.exists(f"sk_{name}/tier={self.tier}"):
                 continue
             sprev = self.read_sketch(name).localCheckpoint()

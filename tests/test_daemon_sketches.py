@@ -226,3 +226,59 @@ def test_daemon_sketch_file_stream_once(spark, tmp_path):
 
     row = td.tdigest_stats(d.read_sketch("tdigest")).collect()[0]
     assert row["cnt"] == 4 and row["min"] == 3.0 and row["max"] == 30.0
+
+
+def test_sketch_cli_and_bare_daemon_autodetect(spark, tmp_path, capsys):
+    """The CLI path: a bare Daemon (no [sketches] config — what the
+    compact/archive subcommands construct) auto-detects existing sk_*
+    tables, and `python -m logtrics_spark sketch` answers from both a
+    LIVE store and an ARCHIVED store."""
+    import json as _json
+
+    from logtrics_spark.__main__ import main as cli_main
+    from logtrics_spark.api import Engine
+    from logtrics_spark.plans.daemon import Daemon
+    from logtrics_spark.plans.pipeline import RollupJob
+
+    d = _daemon(spark, tmp_path)
+    closed = _points_pdf("2024-03-01", range(30))
+    _drain(d, spark, closed.iloc[:20])
+    _drain(d, spark, closed)
+    _drain(d, spark, _points_pdf("2024-03-02", range(3), seed=11))
+
+    # live-store query via the CLI (origin column present -> resolve)
+    rc = cli_main(
+        ["sketch", "--store", str(tmp_path / "store"), "--kind", "tdigest",
+         "--tier", "1m", "--q", "0.5", "--limit", "3"]
+    )
+    assert rc == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(out) == 3 and "p50" in out[0]
+
+    # bare daemon (CLI shape, empty conf): compact + archive still
+    # handle the sketch tables via auto-detection
+    bare = Daemon(spark, {}, Engine(), str(tmp_path / "store"))
+    assert bare.sketch_kinds == []
+    assert set(bare._sketch_kinds_effective()) == {"tdigest", "mg", "hll"}
+    counts = bare.compact()
+    assert "sk_tdigest:1m" in counts
+
+    job = RollupJob(spark, str(tmp_path / "archive"), tiers=["1m", "1h"])
+    stats = bare.archive_closed_days(job)
+    assert stats["sk_tdigest:1h"] == 1  # sealed despite empty conf
+
+    # archived-store query via the CLI (no origin column -> direct)
+    rc = cli_main(
+        ["sketch", "--store", str(tmp_path / "archive"), "--kind", "mg",
+         "--tier", "1h", "--n", "1"]
+    )
+    assert rc == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["item"] == "7" and rows[0]["rank"] == 1
+
+    # missing table -> rc 2
+    rc = cli_main(
+        ["sketch", "--store", str(tmp_path / "archive"), "--kind", "hll",
+         "--tier", "1d"]
+    )
+    assert rc == 2
