@@ -44,7 +44,13 @@ def _cmd_rollup(args) -> int:
 
     spark, own = _get_session("logtrics-rollup")
     tiers = args.tiers.split(",") if args.tiers else None
-    job = RollupJob(spark, args.store, tiers=tiers, step_seconds=args.step_seconds)
+    sketches = (
+        {"enabled": args.sketches.split(",")} if getattr(args, "sketches", None) else None
+    )
+    job = RollupJob(
+        spark, args.store, tiers=tiers, step_seconds=args.step_seconds,
+        sketches=sketches,
+    )
     if args.input:
         job.ingest_raw(spark.read.parquet(args.input), mode=args.ingest_mode)
     stats = job.run(seal_before=args.seal_before)
@@ -263,6 +269,9 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["overwrite_partitions", "append"])
     r.add_argument("--retention", action="store_true",
                    help="drop fully-sealed raw partitions after the run")
+    r.add_argument("--sketches",
+                   help="comma list of tdigest,mg,hll — also build "
+                        "mergeable sketch tiers (sk_* tables)")
     r.set_defaults(fn=_cmd_rollup)
 
     g = sub.add_parser("graphite", help="emit a stored tier as Graphite plaintext")

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from logtrics_spark.api import Engine
 from logtrics_spark.operators.rollup import rollup
+from logtrics_spark.operators.sketchset import KIND_VALS, SketchSet
 from logtrics_spark.sinks.graphite import send_graphite_tcp, to_graphite_lines
 from logtrics_spark.sources.readers import (
     UDPLineCollector,
@@ -58,12 +59,9 @@ from logtrics_spark.streaming.rollup_stream import rollup_stream
 
 logger = logging.getLogger("logtrics_spark.daemon")
 
-# sketch-kind -> its summary value columns (everything else is key)
-_SK_VALS = {
-    "tdigest": ["tdigest"],
-    "mg": ["items", "counts", "err", "total_n"],
-    "hll": ["hll"],
-}
+# re-export for callers (the CLI sketch command); the dispatch itself
+# lives in operators/sketchset.py, shared with the batch RollupJob
+_SK_VALS = KIND_VALS
 
 
 def _resolve_sketch_versions(df: DataFrame, val_cols: list[str]) -> DataFrame:
@@ -206,15 +204,8 @@ class Daemon:
         # [sketches] enabled = ["tdigest", "mg", "hll"]): the live store
         # then answers post-retention percentiles / top-k / distinct
         # the way the batch path's sketch tables do (test_sketch_store)
-        sk = self.conf.get("sketches", {}) or {}
-        self.sketch_kinds: list[str] = list(sk.get("enabled", []) or [])
-        bad = set(self.sketch_kinds) - set(_SK_VALS)
-        if bad:
-            raise ValueError(f"unknown sketch kinds {sorted(bad)}; pick from {sorted(_SK_VALS)}")
-        self.sketch_item_col = sk.get("item_col", "value")
-        self.sketch_mg_k = int(sk.get("mg_k", 256))
-        self.sketch_compression = float(sk.get("compression", 200.0))
-        self.sketch_lg_k = int(sk.get("lg_config_k", 12))
+        self.sketchset = SketchSet.from_config(self.conf.get("sketches"))
+        self.sketch_kinds = self.sketchset.enabled
         import threading
 
         self._seq_lock = threading.Lock()
@@ -406,40 +397,13 @@ class Daemon:
 
     # --------------------------------------------------- sketch tiers
     def _sketch_rollup(self, points: DataFrame, name: str) -> DataFrame:
-        """Finest-tier sketch rows for one kind from raw points."""
-        from logtrics_spark.operators.heavyhitters import mg_rollup
-        from logtrics_spark.operators.rollup import set_sketch_rollup
-        from logtrics_spark.operators.tdigest import tdigest_rollup
-
-        if name == "tdigest":
-            return tdigest_rollup(points, self.tier, compression=self.sketch_compression)
-        if name == "mg":
-            return mg_rollup(points, self.tier, self.sketch_item_col, k=self.sketch_mg_k)
-        # HLL identity is the item's STRING form: hll_sketch_agg accepts
-        # int/long/string/binary only (a double item_col — the point
-        # schema's default value column — would fail analysis), and the
-        # cast keeps identity consistent across every flush and merge
-        pts = points.withColumn(
-            self.sketch_item_col, F.col(self.sketch_item_col).cast("string")
-        )
-        return set_sketch_rollup(
-            pts, self.tier, self.sketch_item_col, lg_config_k=self.sketch_lg_k
-        )
+        """Finest-tier sketch rows for one kind (SketchSet dispatch)."""
+        return self.sketchset.rollup(points, self.tier, name)
 
     def _sketch_cascade(
         self, name: str, df: DataFrame, fine_tier: str, coarse_tier: str
     ) -> DataFrame:
-        """Merge sketch rows tier-to-tier (fine == coarse consolidates
-        same-window contributions — all three summaries are mergeable)."""
-        from logtrics_spark.operators.heavyhitters import mg_cascade
-        from logtrics_spark.operators.rollup import set_sketch_cascade
-        from logtrics_spark.operators.tdigest import tdigest_cascade
-
-        if name == "tdigest":
-            return tdigest_cascade(df, fine_tier, coarse_tier)
-        if name == "mg":
-            return mg_cascade(df, fine_tier, coarse_tier, k=self.sketch_mg_k)
-        return set_sketch_cascade(df, fine_tier, coarse_tier)
+        return self.sketchset.cascade(name, df, fine_tier, coarse_tier)
 
     def _write_sketch_rows(
         self, name: str, rows: DataFrame, tier: str, origin: str, batch_seq: int = -1

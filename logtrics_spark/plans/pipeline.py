@@ -68,6 +68,7 @@ class RollupJob:
         per_source_ts: bool = False,
         step_seconds: int = 1,
         chunk_value_cols: list[str] | None = None,
+        sketches=None,
     ) -> None:
         """``chunk_value_cols`` picks the aggregate columns archived in
         Gorilla chunks (default gorilla.DEFAULT_VALUE_COLS).  Retention
@@ -75,13 +76,34 @@ class RollupJob:
         dropped days — include "sum_sq" to keep timer stddev derivable
         forever (read_tier_from_chunks then restores a stddev column);
         rate/avg-style columns are derivable from cnt/sum and never need
-        archiving."""
+        archiving.
+
+        ``sketches`` (a ``SketchSet`` or its config-dict shape, e.g.
+        ``{"enabled": ["tdigest", "mg", "hll"], "item_col": "value"}``)
+        turns on MERGEABLE sketch tiers alongside the scalar tiers:
+        run() builds finest-tier tdigest/MG/HLL rows from the same
+        pruned points, cascades them up the tier ladder by MERGING
+        (never re-reading raw), and lands them as write-once
+        ``sk_<kind>`` tables under the same (tier, day) layout and
+        pending-unit resume discipline — so quantiles / top-k /
+        distinct stay answerable after retention drops raw and the fine
+        tiers, without the manual composition test_sketch_store.py
+        shows.  Sketch partitions rewrite idempotently on resume
+        (dynamic day overwrite; contents equivalent, not byte-pinned —
+        digest bytes depend on partition order, their estimates don't).
+        """
+        from logtrics_spark.operators.sketchset import SketchSet
+
         self.spark = spark
         self.io = ParquetTableIO(spark, root)
         self.tiers = tiers or TIER_ORDER
         self.per_source_ts = per_source_ts
         self.step_seconds = step_seconds
         self.chunk_value_cols = chunk_value_cols
+        if sketches is None or isinstance(sketches, SketchSet):
+            self.sketchset = sketches or SketchSet([])
+        else:
+            self.sketchset = SketchSet.from_config(sketches)
 
     # ------------------------------------------------------------ ingest
     def ingest_raw(self, df: DataFrame, mode: str = "overwrite_partitions") -> None:
@@ -173,6 +195,12 @@ class RollupJob:
         # the day-level dynamic overwrite stays exactly unit-aligned.
         tier_plans: list[tuple[str, DataFrame, set | None]] = []
         prev_full: DataFrame | None = None  # fine tier covering ALL days
+        sk_kinds = self.sketchset.enabled
+        # sketch tiers mirror the scalar resume discipline exactly: one
+        # plan frame per (kind, tier) for pending days, one stored-∪-fresh
+        # full view per kind feeding the next tier's cascade
+        sk_plans: list[tuple[str, str, DataFrame]] = []
+        sk_prev: dict[str, DataFrame | None] = {k: None for k in sk_kinds}
         try:
             for i, tier in enumerate(self.tiers):
                 if fresh:
@@ -194,6 +222,12 @@ class RollupJob:
                             if self.io.exists(f"tiers/tier={tier}")
                             else None
                         )
+                        for k in sk_kinds:
+                            sk_prev[k] = (
+                                self.io.read(f"sk_{k}/tier={tier}")
+                                if self.io.exists(f"sk_{k}/tier={tier}")
+                                else None
+                            )
                         continue
                     pending_set = set(pending_list)
                     pending_days = self.spark.createDataFrame(
@@ -211,17 +245,34 @@ class RollupJob:
                         _prune(raw), per_source=self.per_source_ts, step_seconds=self.step_seconds
                     )
                     tier_df = rollup(points, tier)
+                    sk_frames = {
+                        k: self.sketchset.rollup(points, tier, k) for k in sk_kinds
+                    }
                 else:
                     assert prev_full is not None, "cascade input missing"
                     fine = _prune(prev_full)
                     tier_df = cascade(fine.drop("day"), self.tiers[i - 1], tier)
+                    sk_frames = {}
+                    for k in sk_kinds:
+                        assert sk_prev[k] is not None, f"sk_{k} cascade input missing"
+                        sk_frames[k] = self.sketchset.cascade(
+                            k, _prune(sk_prev[k]).drop("day"), self.tiers[i - 1], tier
+                        )
 
                 tier_df = tier_df.withColumn("day", _day("window_start")).persist()
                 cached.append(tier_df)
                 tier_plans.append((tier, tier_df, pending_set))
+                for k in sk_kinds:
+                    skf = sk_frames[k].withColumn("day", _day("window_start")).persist()
+                    cached.append(skf)
+                    sk_plans.append((k, tier, skf))
 
                 if fresh or pending_days is None:
                     prev_full = tier_df
+                    for k in sk_kinds:
+                        sk_prev[k] = dict(
+                            (kk, f) for kk, t, f in sk_plans if t == tier
+                        )[k]
                 else:
                     stored = (
                         self.io.read(f"tiers/tier={tier}")
@@ -233,6 +284,19 @@ class RollupJob:
                     else:
                         stored = stored.join(F.broadcast(pending_days), ["day"], "left_anti")
                         prev_full = stored.unionByName(tier_df)
+                    for k in sk_kinds:
+                        skf = dict((kk, f) for kk, t, f in sk_plans if t == tier)[k]
+                        sk_stored = (
+                            self.io.read(f"sk_{k}/tier={tier}")
+                            if self.io.exists(f"sk_{k}/tier={tier}")
+                            else None
+                        )
+                        if sk_stored is None:
+                            sk_prev[k] = skf
+                        else:
+                            sk_prev[k] = sk_stored.join(
+                                F.broadcast(pending_days), ["day"], "left_anti"
+                            ).unionByName(skf)
 
             if not tier_plans:
                 return stats
@@ -264,6 +328,20 @@ class RollupJob:
             all_chunks = all_chunks.persist()
             cached.append(all_chunks)
             self.io.write_partitioned(all_chunks, "chunks", ["tier", "day"])
+
+            # sketch tables: one clustered write per kind covering every
+            # pending tier, landing BEFORE the lineage seals — a crash
+            # here leaves the day's unit unsealed, so the next run
+            # rewrites the same partitions (same idempotence as tiers)
+            for k in sk_kinds:
+                all_sk = None
+                for kk, t, f in sk_plans:
+                    if kk != k:
+                        continue
+                    t_f = f.withColumn("tier", F.lit(t))
+                    all_sk = t_f if all_sk is None else all_sk.unionByName(t_f)
+                if all_sk is not None:
+                    self.io.write_partitioned(all_sk, f"sk_{k}", ["tier", "day"])
 
             # Phase 3 — lineage: one aggregate over the cached chunk rows,
             # appended per tier IN TIER ORDER (a crash between appends
@@ -418,7 +496,12 @@ class RollupJob:
             if tier not in self.tiers:
                 raise ValueError(f"unknown tier {tier!r}")
             cutoff = (t0 - _dt.timedelta(days=days)).isoformat()
-            for table in (f"tiers/tier={tier}", f"chunks/tier={tier}"):
+            sk_tables = [
+                f"sk_{k}/tier={tier}"
+                for k in self.sketchset.enabled
+                if self.io.exists(f"sk_{k}/tier={tier}")
+            ]
+            for table in (f"tiers/tier={tier}", f"chunks/tier={tier}", *sk_tables):
                 for day in self.io.list_partitions(table, "day"):
                     if day < cutoff and self.io.drop_partition(table, day=day):
                         if table.startswith("tiers"):
@@ -439,6 +522,14 @@ class RollupJob:
     # ------------------------------------------------------------- reads
     def read_tier(self, tier: str) -> DataFrame:
         return self.io.read(f"tiers/tier={tier}").drop("day")
+
+    def read_sketch_tier(self, name: str, tier: str) -> DataFrame:
+        """Sketch tier rows (write-once final rows — estimate with
+        tdigest_quantiles / mg_topk / set_sketch_estimate).  This is the
+        post-retention answer path for quantiles / top-k / distinct:
+        coarse sketch tiers remain after ``retention_tiers`` drops the
+        fine ones."""
+        return self.io.read(f"sk_{name}/tier={tier}").drop("day")
 
     def read_tier_from_chunks(self, tier: str) -> DataFrame:
         """Serve a tier by decompressing its Gorilla chunks (the post-
