@@ -283,6 +283,33 @@ def q_series_select_1h(spark, sf_dir):
     )
 
 
+def q_series_threshold_1h(spark, sf_dir):
+    """Threshold family (series.py removeBelowValue /
+    removeAbovePercentile / nPercentile — Graphite's outlier-clipping
+    staples) chained over the hourly gauge: values < 10 null out, then
+    values above the series' own p95 null out; the p95 line rides along.
+    Pointwise thresholds are one projection; the per-series percentile
+    is one unbounded window aggregate (exact interpolated percentile,
+    the same definition as DuckDB quantile_cont — the p95_series_1h
+    parity), NaN excluded on both sides."""
+    from logtrics_spark.operators.series import (
+        n_percentile,
+        remove_above_percentile,
+        remove_below_value,
+    )
+
+    r = _rollup_events_raw(spark, sf_dir, "1h").withColumn("v", F.col("avg"))
+    d = remove_below_value(r, "v", 10.0)
+    d = n_percentile(d, "v", 0.95, out_col="p95_line")
+    d = remove_above_percentile(d, "v", 0.95)
+    return d.select(
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        _q("v", 4).alias("v"),
+        _q("p95_line", 4).alias("p95_line"),
+    )
+
+
 def q_linreg_1h(spark, sf_dir):
     """Graphite linearRegression over a trailing 6h RANGE frame: OLS
     slope/intercept of (epoch, hourly avg) per series, predicting 1h
@@ -1270,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_topk_1h": q_mg_topk_1h,
         # --- new in round 5 ------------------------------------------
         "series_select_1h": q_series_select_1h,
+        "series_threshold_1h": q_series_threshold_1h,
         # --- main body -----------------------------------------------
         "cascade_stddev_1h": q_cascade_stddev_1h,
         "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -1982,6 +2010,26 @@ def oracle_sql() -> dict[str, str]:
             AND regexp_matches(source || '.ev.value', '(click|view|purchase|signup)'))
         SELECT 'ev' AS series, ws, {_qsql('sum(s)', 4)} AS total
         FROM f GROUP BY ws
+    """
+    # chain mirror: null-below-10, per-series p95 over the survivors
+    # (quantile_cont ignores nulls, same exact interpolated definition
+    # as Spark percentile), null-above-p95; p95 line rides along
+    sqls["series_threshold_1h"] = f"""
+        WITH h AS (
+          SELECT event_type AS source,
+                 CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
+                 avg(value) AS a
+          FROM events GROUP BY 1, 2),
+        f AS (
+          SELECT source, ws, CASE WHEN a >= 10.0 THEN a END AS v FROM h),
+        t AS (
+          SELECT source, ws, v,
+                 quantile_cont(v, 0.95) OVER (PARTITION BY source) AS th
+          FROM f)
+        SELECT source, ws,
+               {_qsql('CASE WHEN v <= th THEN v END', 4)} AS v,
+               {_qsql('th', 4)} AS p95_line
+        FROM t
     """
     sqls["moving_stddev_1h"] = f"""
         WITH r AS (

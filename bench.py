@@ -109,6 +109,7 @@ def main() -> None:
         "mg_topk_1h",
         "error_ratio_1h",
         "series_select_1h",
+        "series_threshold_1h",
         "transform_chain_1h",
         "linreg_1h",
         "moving_stddev_1h",

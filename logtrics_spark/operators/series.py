@@ -756,3 +756,152 @@ def group_by_node(
     return tier_df.groupBy(part.alias("series"), "window_start").agg(
         _SERIES_COMBINE[how](value_col).alias(out)
     )
+
+
+# ---------------------------------------------------- threshold family
+#
+# Graphite's value-threshold and series-threshold functions
+# (removeAboveValue / removeBelowValue / removeAbovePercentile /
+# removeBelowPercentile / nPercentile / averageAbove / averageBelow /
+# currentAbove / currentBelow / mostDeviant, all from Graphite-web's
+# public functions.py).  Pointwise variants null the offending VALUES
+# (Graphite keeps the slot, sets None — downstream gap-fill decides
+# what to do with it); series-level variants keep or drop WHOLE series.
+# Everything is pure Catalyst: pointwise = one projection; per-series
+# stats = one unbounded window over the series partition (tier-sized
+# frames, bounded by slots per series); mostDeviant ranks a one-row-
+# per-series aggregate like topk_series.
+
+
+def remove_above_value(
+    tier_df: DataFrame, value_col: str, threshold: float, out_col: str | None = None
+) -> DataFrame:
+    """Graphite ``removeAboveValue``: values > threshold become null
+    (NaN values are also nulled — Spark sorts NaN above every number,
+    so `<=` would silently KEEP them)."""
+    out = out_col or value_col
+    v = F.col(value_col)
+    return tier_df.withColumn(out, F.when((v <= threshold) & ~F.isnan(v), v))
+
+
+def remove_below_value(
+    tier_df: DataFrame, value_col: str, threshold: float, out_col: str | None = None
+) -> DataFrame:
+    """Graphite ``removeBelowValue``: values < threshold become null
+    (NaN is nulled explicitly: ``NaN >= t`` is TRUE under Spark's NaN
+    ordering and would keep poisoned points)."""
+    out = out_col or value_col
+    v = F.col(value_col)
+    return tier_df.withColumn(out, F.when((v >= threshold) & ~F.isnan(v), v))
+
+
+def n_percentile(
+    tier_df: DataFrame,
+    value_col: str,
+    p: float,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``nPercentile(seriesList, n)``: each slot carries its
+    SERIES' p-percentile as a flat line (exact interpolated percentile,
+    the same definition DuckDB's quantile_cont uses; NaN excluded)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    key = key or KEY
+    out = out_col or f"p{int(p * 100)}_{value_col}"
+    v = F.col(value_col)
+    w = Window.partitionBy(*key)
+    return tier_df.withColumn(
+        out, F.percentile(F.when(~F.isnan(v), v), F.lit(p)).over(w)
+    )
+
+
+def remove_above_percentile(
+    tier_df: DataFrame,
+    value_col: str,
+    p: float,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``removeAbovePercentile``: null values above the
+    series' own p-percentile (computed over the frame, NaN excluded)."""
+    out = out_col or value_col
+    d = n_percentile(tier_df, value_col, p, key, out_col="_thresh")
+    v = F.col(value_col)
+    return d.withColumn(
+        out, F.when((v <= F.col("_thresh")) & ~F.isnan(v), v)
+    ).drop("_thresh")
+
+
+def remove_below_percentile(
+    tier_df: DataFrame,
+    value_col: str,
+    p: float,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``removeBelowPercentile``: the complement."""
+    out = out_col or value_col
+    d = n_percentile(tier_df, value_col, p, key, out_col="_thresh")
+    v = F.col(value_col)
+    return d.withColumn(
+        out, F.when((v >= F.col("_thresh")) & ~F.isnan(v), v)
+    ).drop("_thresh")
+
+
+def _series_stat_filter(tier_df, value_col, key, stat, keep) -> DataFrame:
+    key = key or KEY
+    v = F.col(value_col)
+    w = Window.partitionBy(*key)
+    if stat == "avg":
+        s = F.avg(F.when(~F.isnan(v), v)).over(w)
+    else:  # current = last non-null value in window order
+        s = F.last(F.when(~F.isnan(v), v), ignorenulls=True).over(
+            Window.partitionBy(*key)
+            .orderBy("window_start")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+    return tier_df.withColumn("_s", s).where(keep(F.col("_s"))).drop("_s")
+
+
+def average_above(tier_df: DataFrame, value_col: str, threshold: float, key=None) -> DataFrame:
+    """Graphite ``averageAbove``: keep whole series whose mean (NaN
+    excluded) exceeds the threshold."""
+    return _series_stat_filter(tier_df, value_col, key, "avg", lambda s: s > threshold)
+
+
+def average_below(tier_df: DataFrame, value_col: str, threshold: float, key=None) -> DataFrame:
+    """Graphite ``averageBelow``."""
+    return _series_stat_filter(tier_df, value_col, key, "avg", lambda s: s < threshold)
+
+
+def current_above(tier_df: DataFrame, value_col: str, threshold: float, key=None) -> DataFrame:
+    """Graphite ``currentAbove``: keep series whose LAST (most recent
+    non-null) value exceeds the threshold."""
+    return _series_stat_filter(tier_df, value_col, key, "last", lambda s: s > threshold)
+
+
+def current_below(tier_df: DataFrame, value_col: str, threshold: float, key=None) -> DataFrame:
+    """Graphite ``currentBelow``."""
+    return _series_stat_filter(tier_df, value_col, key, "last", lambda s: s < threshold)
+
+
+def most_deviant(
+    tier_df: DataFrame, value_col: str, n: int, key: list[str] | None = None
+) -> DataFrame:
+    """Graphite ``mostDeviant(seriesList, n)``: keep the n series with
+    the highest sample variance.  Execution = topk_series' shape: the
+    per-series aggregate is ONE row per series (registry-sized), ranked
+    globally, winners broadcast-semi-joined back onto the tier rows."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    key = key or KEY
+    v = F.col(value_col)
+    per_series = (
+        tier_df.groupBy(*key)
+        .agg(F.var_samp(F.when(~F.isnan(v), v)).alias("_var"))
+        .where(F.col("_var").isNotNull())
+        .orderBy(F.desc("_var"), *[F.asc(k) for k in key])
+        .limit(n)
+    )
+    return tier_df.join(F.broadcast(per_series.select(*key)), key, "left_semi")

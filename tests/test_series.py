@@ -545,3 +545,62 @@ def test_group_by_node_collapses_and_aggregates(spark):
 
     with _pt.raises(ValueError):
         group_by_node(df, 0, "val", how="median")
+
+
+def test_remove_value_thresholds_null_not_drop(spark):
+    from logtrics_spark.operators.series import remove_above_value, remove_below_value
+
+    df = _tier(spark, [(0, 1), (1, 5), (2, 50), (3, float("nan"))])
+    up = _vals(remove_above_value(df, "val", 10.0), "val")
+    assert up == [1.0, 5.0, None, None]  # slot kept, value nulled; NaN nulled
+    lo = _vals(remove_below_value(df, "val", 3.0), "val")
+    assert lo == [None, 5.0, 50.0, None]
+
+
+def test_n_percentile_and_percentile_removal(spark):
+    from logtrics_spark.operators.series import (
+        n_percentile,
+        remove_above_percentile,
+        remove_below_percentile,
+    )
+
+    df = _tier(spark, [(i, v) for i, v in enumerate([1, 2, 3, 4, 100])])
+    got = _vals(n_percentile(df, "val", 0.5, out_col="p50"), "p50")
+    assert got == [3.0] * 5  # flat per-series line, exact interpolated
+    top = _vals(remove_above_percentile(df, "val", 0.5), "val")
+    assert top == [1.0, 2.0, 3.0, None, None]
+    bot = _vals(remove_below_percentile(df, "val", 0.5), "val")
+    assert bot == [None, None, 3.0, 4.0, 100.0]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        n_percentile(df, "val", 1.5)
+
+
+def test_series_level_filters_and_most_deviant(spark):
+    from logtrics_spark.operators.series import (
+        average_above,
+        average_below,
+        current_above,
+        current_below,
+        most_deviant,
+    )
+
+    rows = (
+        [("flat", m, 10.0) for m in range(4)]
+        + [("rising", m, float(m * 100)) for m in range(4)]
+        + [("low", m, 1.0) for m in range(4)]
+    )
+    df = _tier(spark, rows)
+    assert {r["source"] for r in average_above(df, "val", 5.0).collect()} == {"flat", "rising"}
+    assert {r["source"] for r in average_below(df, "val", 5.0).collect()} == {"low"}
+    # current = LAST value: rising ends at 300
+    assert {r["source"] for r in current_above(df, "val", 50.0).collect()} == {"rising"}
+    assert {r["source"] for r in current_below(df, "val", 5.0).collect()} == {"low"}
+    # variance ranking keeps whole series, rows intact
+    md = most_deviant(df, "val", 1)
+    assert {r["source"] for r in md.collect()} == {"rising"} and md.count() == 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        most_deviant(df, "val", 0)
