@@ -301,7 +301,9 @@ def q_series_threshold_1h(spark, sf_dir):
     r = _rollup_events_raw(spark, sf_dir, "1h").withColumn("v", F.col("avg"))
     d = remove_below_value(r, "v", 10.0)
     d = n_percentile(d, "v", 0.95, out_col="p95_line")
-    d = remove_above_percentile(d, "v", 0.95)
+    # threshold_col reuses the p95 window aggregate computed above —
+    # one window pass, not two (Catalyst does not dedupe them)
+    d = remove_above_percentile(d, "v", 0.95, threshold_col="p95_line")
     return d.select(
         "source",
         F.unix_timestamp("window_start").cast("long").alias("ws"),

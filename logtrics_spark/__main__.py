@@ -188,7 +188,7 @@ def _cmd_sketch(args) -> int:
     from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
 
     from logtrics_spark.api import Engine
-    from logtrics_spark.plans.daemon import _SK_VALS, Daemon
+    from logtrics_spark.plans.daemon import Daemon
     from logtrics_spark.storage.tableio import ParquetTableIO
 
     spark, own = _get_session("logtrics-sketch")

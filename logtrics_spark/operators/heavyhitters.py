@@ -128,8 +128,14 @@ def mg_rollup(
     """
     key = key or KEY
     gcols = [*key, "window_start"]
-    pts = points.withColumn("window_start", window_start(F.col("ts"), tier)).select(
-        *gcols, F.col(item_col).cast("string").alias("_item")
+    # null items are dropped (no observation), and BEFORE counting: in
+    # direct mode collect_list("_item") silently drops nulls while
+    # collect_list("_cnt") keeps their counts — misaligned arrays would
+    # crash the reduction; filtering here keeps both modes identical
+    pts = (
+        points.withColumn("window_start", window_start(F.col("ts"), tier))
+        .select(*gcols, F.col(item_col).cast("string").alias("_item"))
+        .where(F.col("_item").isNotNull())
     )
     if presketch:
         in_fields = {f.name: f for f in pts.schema.fields}

@@ -808,7 +808,10 @@ def n_percentile(
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"p must be in [0, 1], got {p}")
     key = key or KEY
-    out = out_col or f"p{int(p * 100)}_{value_col}"
+    # graphite-style names without float truncation: 0.95 -> p95,
+    # 0.999 -> p999 (int(p*100) would truncate 0.29 to p28 and
+    # collide 0.999 with 0.99)
+    out = out_col or "p" + ("%g" % (p * 100)).replace(".", "") + f"_{value_col}"
     v = F.col(value_col)
     w = Window.partitionBy(*key)
     return tier_df.withColumn(
@@ -822,15 +825,21 @@ def remove_above_percentile(
     p: float,
     key: list[str] | None = None,
     out_col: str | None = None,
+    threshold_col: str | None = None,
 ) -> DataFrame:
     """Graphite ``removeAbovePercentile``: null values above the
-    series' own p-percentile (computed over the frame, NaN excluded)."""
+    series' own p-percentile (computed over the frame, NaN excluded).
+    ``threshold_col`` reuses an existing per-series percentile column
+    (e.g. n_percentile's output) instead of recomputing the window
+    aggregate — Catalyst does not dedupe identical window passes."""
     out = out_col or value_col
-    d = n_percentile(tier_df, value_col, p, key, out_col="_thresh")
+    if threshold_col is None:
+        d = n_percentile(tier_df, value_col, p, key, out_col="_thresh")
+        thresh, drop = F.col("_thresh"), ["_thresh"]
+    else:
+        d, thresh, drop = tier_df, F.col(threshold_col), []
     v = F.col(value_col)
-    return d.withColumn(
-        out, F.when((v <= F.col("_thresh")) & ~F.isnan(v), v)
-    ).drop("_thresh")
+    return d.withColumn(out, F.when((v <= thresh) & ~F.isnan(v), v)).drop(*drop)
 
 
 def remove_below_percentile(
@@ -839,14 +848,17 @@ def remove_below_percentile(
     p: float,
     key: list[str] | None = None,
     out_col: str | None = None,
+    threshold_col: str | None = None,
 ) -> DataFrame:
     """Graphite ``removeBelowPercentile``: the complement."""
     out = out_col or value_col
-    d = n_percentile(tier_df, value_col, p, key, out_col="_thresh")
+    if threshold_col is None:
+        d = n_percentile(tier_df, value_col, p, key, out_col="_thresh")
+        thresh, drop = F.col("_thresh"), ["_thresh"]
+    else:
+        d, thresh, drop = tier_df, F.col(threshold_col), []
     v = F.col(value_col)
-    return d.withColumn(
-        out, F.when((v >= F.col("_thresh")) & ~F.isnan(v), v)
-    ).drop("_thresh")
+    return d.withColumn(out, F.when((v >= thresh) & ~F.isnan(v), v)).drop(*drop)
 
 
 def _series_stat_filter(tier_df, value_col, key, stat, keep) -> DataFrame:
@@ -866,31 +878,36 @@ def _series_stat_filter(tier_df, value_col, key, stat, keep) -> DataFrame:
 
 def average_above(tier_df: DataFrame, value_col: str, threshold: float, key=None) -> DataFrame:
     """Graphite ``averageAbove``: keep whole series whose mean (NaN
-    excluded) exceeds the threshold."""
-    return _series_stat_filter(tier_df, value_col, key, "avg", lambda s: s > threshold)
+    excluded) is >= the threshold (Graphite's boundary is inclusive:
+    ``safeAvg(series) >= n``)."""
+    return _series_stat_filter(tier_df, value_col, key, "avg", lambda s: s >= threshold)
 
 
 def average_below(tier_df: DataFrame, value_col: str, threshold: float, key=None) -> DataFrame:
-    """Graphite ``averageBelow``."""
-    return _series_stat_filter(tier_df, value_col, key, "avg", lambda s: s < threshold)
+    """Graphite ``averageBelow`` (inclusive boundary, like the rest of
+    the family)."""
+    return _series_stat_filter(tier_df, value_col, key, "avg", lambda s: s <= threshold)
 
 
 def current_above(tier_df: DataFrame, value_col: str, threshold: float, key=None) -> DataFrame:
     """Graphite ``currentAbove``: keep series whose LAST (most recent
-    non-null) value exceeds the threshold."""
-    return _series_stat_filter(tier_df, value_col, key, "last", lambda s: s > threshold)
+    non-null) value is >= the threshold (``safeLast(series) >= n``)."""
+    return _series_stat_filter(tier_df, value_col, key, "last", lambda s: s >= threshold)
 
 
 def current_below(tier_df: DataFrame, value_col: str, threshold: float, key=None) -> DataFrame:
-    """Graphite ``currentBelow``."""
-    return _series_stat_filter(tier_df, value_col, key, "last", lambda s: s < threshold)
+    """Graphite ``currentBelow`` (inclusive boundary)."""
+    return _series_stat_filter(tier_df, value_col, key, "last", lambda s: s <= threshold)
 
 
 def most_deviant(
     tier_df: DataFrame, value_col: str, n: int, key: list[str] | None = None
 ) -> DataFrame:
     """Graphite ``mostDeviant(seriesList, n)``: keep the n series with
-    the highest sample variance.  Execution = topk_series' shape: the
+    the highest POPULATION variance (Graphite computes
+    sum((x-mean)^2)/len, not the sample estimator — with different
+    point counts per series the n vs n-1 denominators can flip the
+    ranking).  Execution = topk_series' shape: the
     per-series aggregate is ONE row per series (registry-sized), ranked
     globally, winners broadcast-semi-joined back onto the tier rows."""
     if n <= 0:
@@ -899,7 +916,7 @@ def most_deviant(
     v = F.col(value_col)
     per_series = (
         tier_df.groupBy(*key)
-        .agg(F.var_samp(F.when(~F.isnan(v), v)).alias("_var"))
+        .agg(F.var_pop(F.when(~F.isnan(v), v)).alias("_var"))
         .where(F.col("_var").isNotNull())
         .orderBy(F.desc("_var"), *[F.asc(k) for k in key])
         .limit(n)

@@ -45,6 +45,7 @@ class SketchSet:
         mg_k: int = 256,
         compression: float = 200.0,
         lg_config_k: int = 12,
+        presketch: bool = False,
     ) -> None:
         bad = set(enabled) - set(KIND_VALS)
         if bad:
@@ -56,6 +57,12 @@ class SketchSet:
         self.mg_k = int(mg_k)
         self.compression = float(compression)
         self.lg_config_k = int(lg_config_k)
+        # presketch=True switches tdigest/MG builds to their map-side
+        # partial mode (shuffle bounded by sketch size, not window
+        # cardinality) — the huge/high-cardinality-window regime; leave
+        # False when windows are modest (per-group partials degenerate
+        # to one sketch per point, the r4 111s lesson)
+        self.presketch = bool(presketch)
 
     @classmethod
     def from_config(cls, conf: dict | None) -> "SketchSet":
@@ -68,6 +75,7 @@ class SketchSet:
             mg_k=int(sk.get("mg_k", 256)),
             compression=float(sk.get("compression", 200.0)),
             lg_config_k=int(sk.get("lg_config_k", 12)),
+            presketch=bool(sk.get("presketch", False)),
         )
 
     def __bool__(self) -> bool:
@@ -84,9 +92,13 @@ class SketchSet:
         from logtrics_spark.operators.tdigest import tdigest_rollup
 
         if name == "tdigest":
-            return tdigest_rollup(points, tier, compression=self.compression)
+            return tdigest_rollup(
+                points, tier, compression=self.compression, presketch=self.presketch
+            )
         if name == "mg":
-            return mg_rollup(points, tier, self.item_col, k=self.mg_k)
+            return mg_rollup(
+                points, tier, self.item_col, k=self.mg_k, presketch=self.presketch
+            )
         pts = points.withColumn(self.item_col, F.col(self.item_col).cast("string"))
         return set_sketch_rollup(pts, tier, self.item_col, lg_config_k=self.lg_config_k)
 

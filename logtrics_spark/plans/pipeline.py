@@ -254,25 +254,39 @@ class RollupJob:
                     tier_df = cascade(fine.drop("day"), self.tiers[i - 1], tier)
                     sk_frames = {}
                     for k in sk_kinds:
-                        assert sk_prev[k] is not None, f"sk_{k} cascade input missing"
-                        sk_frames[k] = self.sketchset.cascade(
-                            k, _prune(sk_prev[k]).drop("day"), self.tiers[i - 1], tier
-                        )
+                        if sk_prev[k] is None:
+                            # sketches enabled on a store whose finer
+                            # sketch history doesn't exist (turned on
+                            # mid-history, or resume across the enable):
+                            # build THIS tier directly from raw points
+                            # for its pending days — a sketch tier is
+                            # valid at any granularity, this just pays
+                            # the scan instead of the cheap merge
+                            pts_t = extract_points(
+                                _prune(raw),
+                                per_source=self.per_source_ts,
+                                step_seconds=self.step_seconds,
+                            )
+                            sk_frames[k] = self.sketchset.rollup(pts_t, tier, k)
+                        else:
+                            sk_frames[k] = self.sketchset.cascade(
+                                k, _prune(sk_prev[k]).drop("day"), self.tiers[i - 1], tier
+                            )
 
                 tier_df = tier_df.withColumn("day", _day("window_start")).persist()
                 cached.append(tier_df)
                 tier_plans.append((tier, tier_df, pending_set))
+                sk_cur: dict[str, DataFrame] = {}
                 for k in sk_kinds:
                     skf = sk_frames[k].withColumn("day", _day("window_start")).persist()
                     cached.append(skf)
                     sk_plans.append((k, tier, skf))
+                    sk_cur[k] = skf
 
                 if fresh or pending_days is None:
                     prev_full = tier_df
                     for k in sk_kinds:
-                        sk_prev[k] = dict(
-                            (kk, f) for kk, t, f in sk_plans if t == tier
-                        )[k]
+                        sk_prev[k] = sk_cur[k]
                 else:
                     stored = (
                         self.io.read(f"tiers/tier={tier}")
@@ -285,7 +299,7 @@ class RollupJob:
                         stored = stored.join(F.broadcast(pending_days), ["day"], "left_anti")
                         prev_full = stored.unionByName(tier_df)
                     for k in sk_kinds:
-                        skf = dict((kk, f) for kk, t, f in sk_plans if t == tier)[k]
+                        skf = sk_cur[k]
                         sk_stored = (
                             self.io.read(f"sk_{k}/tier={tier}")
                             if self.io.exists(f"sk_{k}/tier={tier}")

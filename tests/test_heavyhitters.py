@@ -183,3 +183,26 @@ def test_mg_presketch_agrees_with_direct_when_exact(spark):
         assert dr["err"] == pr["err"] == 0
         assert dict(zip(dr["items"], dr["counts"])) == dict(zip(pr["items"], pr["counts"]))
         assert dr["total_n"] == pr["total_n"]
+
+
+def test_mg_null_items_dropped_consistently(spark):
+    """Null items (a null metric field cast to string) must not
+    misalign direct mode's parallel collect_lists (items drops nulls,
+    counts kept them -> lexsort shape crash) and both modes must agree:
+    null = no observation."""
+    pdf = pd.DataFrame(
+        {
+            "source": "web",
+            "metric": "req",
+            "kind": "counter",
+            "ts": BASE,
+            "user": pd.array([7, 7, None, 9, None], dtype="Int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for presketch in (False, True):
+        r = mg_rollup(df, "1h", "user", k=8, presketch=presketch).collect()
+        assert len(r) == 1
+        est = dict(zip(r[0]["items"], r[0]["counts"]))
+        assert est == {"7": 2, "9": 1}, (presketch, est)
+        assert r[0]["total_n"] == 3  # nulls are not observations

@@ -150,3 +150,29 @@ def test_no_sketches_is_noop(spark, tok, tmp_path):
     job.run(run_id="r")
     for k in ("tdigest", "mg", "hll"):
         assert not job.io.exists(f"sk_{k}")
+
+
+def test_enable_sketches_mid_history_resumes(spark, tok, tmp_path):
+    """Sketches turned on AFTER a partial scalar-only run (the crashed
+    enable window): the coarser tiers' sketch rows build directly from
+    raw for their pending days instead of asserting on the missing fine
+    sketch history."""
+    job0 = RollupJob(spark, str(tmp_path / "s"), step_seconds=STEP)
+    job0.ingest_raw(tok)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job0.run(run_id="r1", fail_after_tier="1m")
+
+    job = RollupJob(spark, str(tmp_path / "s"), step_seconds=STEP, sketches=SK)
+    stats = job.run(run_id="r2")
+    assert stats["1m"] == 0 and stats["5m"] > 0
+    # coarser sketch tiers exist and conserve mass for their days
+    truth = _truth(tok)
+    total = (
+        td.tdigest_stats(job.read_sketch_tier("tdigest", "1d"))
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    assert total == len(truth)
+    # fine sketch history stays absent for the already-sealed days (the
+    # documented cost of a mid-history enable)
+    assert not job.io.exists("sk_tdigest/tier=1m")

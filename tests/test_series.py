@@ -604,3 +604,20 @@ def test_series_level_filters_and_most_deviant(spark):
 
     with _pt.raises(ValueError):
         most_deviant(df, "val", 0)
+
+
+def test_n_percentile_column_naming_no_truncation(spark):
+    from logtrics_spark.operators.series import n_percentile
+
+    df = _tier(spark, [(0, 1), (1, 2)])
+    assert "p999_val" in n_percentile(df, "val", 0.999).columns
+    assert "p29_val" in n_percentile(df, "val", 0.29).columns
+
+
+def test_series_filters_inclusive_boundary(spark):
+    from logtrics_spark.operators.series import average_above, current_above
+
+    df = _tier(spark, [("edge", 0, 10.0), ("edge", 1, 10.0), ("under", 0, 9.0)])
+    # Graphite's boundary is inclusive: avg == threshold keeps the series
+    assert {r["source"] for r in average_above(df, "val", 10.0).collect()} == {"edge"}
+    assert {r["source"] for r in current_above(df, "val", 10.0).collect()} == {"edge"}
