@@ -1099,11 +1099,17 @@ def q_lttb_1m(spark, sf_dir):
     """LTTB downsampling of the 1m tier to ~200 visually-representative
     points per series (dashboard read path).
 
-    Same side-channel oracle as holtwinters_1h: the 1m input is dumped
-    to parquet, Spark selects via the grouped-map operator, the driver
-    runs the pure-numpy ``lttb_fold`` (pinned by its own differential
-    tests) over the same bytes — index selection (argmax ties included)
-    is bit-deterministic, so the selected rows must agree exactly.
+    Side-channel oracle (DECLARED semi-circular — unlike holtwinters_1h,
+    whose oracle is now an independent recursive-CTE port, LTTB's
+    bucket/triangle geometry is not SQL-expressible): the 1m input is
+    dumped to parquet, Spark selects via the grouped-map operator, the
+    driver runs the pure-numpy ``lttb_fold`` (the fold the operator
+    itself wraps, pinned separately by its own differential pytest)
+    over the same bytes — so this check proves the DISTRIBUTED
+    grouping/ordering/null plumbing reproduces the sequential fold;
+    the fold's own correctness rests on tests/test_downsample.py.
+    Index selection (argmax ties included) is bit-deterministic, so
+    the selected rows must agree exactly.
     """
     import numpy as np
     import pandas as pd
