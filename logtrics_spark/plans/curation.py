@@ -1,0 +1,128 @@
+"""Dataset curation plan — the LLM-training-data pipeline, composed.
+
+Every stage exists as a tested operator (text.py, dedup.py, sample.py);
+this module chains them into the one plan a data team actually runs
+over a 100 TB corpus, with per-stage survivor counts as the audit
+trail:
+
+    annotate   quality_score + language_id     one projection, JVM-only
+    filter     min quality / allowed langs     pushed predicates
+    exact      one keeper per identical text   8-byte-fingerprint groupBy
+    near-dup   MinHash LSH -> exact-Jaccard    banded join, candidate-
+               verify -> connected components  only verification
+    sample     deterministic / stratified mix  md5-bucket, rerun-stable
+
+Scale shape: the corpus is touched by (a) one annotate+filter scan,
+(b) the exact-dedup fingerprint groupBy, (c) the LSH signature scan,
+and (d) the final keep-set semi-joins — every join against the corpus
+is either on an 8-byte key or a broadcast/semi-join of a much smaller
+keep/drop set; nothing quadratic, nothing driver-side.  The near-dup
+stage verifies candidate pairs only (the LSH bucket join bounds them)
+and collapses verified pairs into components so chains A-B-C drop both
+B and C, not just one of them.
+
+Stats counts are separate Spark actions per stage (a curation run is a
+batch job that runs once; the audit trail is worth five aggregates).
+Pass ``collect_stats=False`` to skip them and keep the plan fully lazy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logtrics_spark.operators.dedup import (
+    dedup_groups,
+    minhash_lsh_dupes,
+    ngram_jaccard_pairs,
+)
+from logtrics_spark.operators.sample import deterministic_sample, stratified_mix
+from logtrics_spark.operators.text import language_id, quality_score
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float | None = 0.3,
+    langs: list[str] | None = None,
+    near_dup: bool = True,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    sample_rate: float | None = None,
+    sample_rates: dict[str, float] | None = None,
+    sample_by: str = "source",
+    collect_stats: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the curation pipeline; returns (kept_docs, stats).
+
+    ``kept_docs`` carries the input columns plus ``quality`` and
+    ``lang``.  ``stats`` maps stage -> surviving row count (empty when
+    ``collect_stats=False``); stages that are disabled (no quality
+    bound, no langs, near_dup=False, no sampling) pass rows through
+    untouched and are absent from stats.
+    """
+    stats: dict[str, int] = {}
+
+    def _n(stage: str, df: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats[stage] = df.count()
+        return df
+
+    cur = docs.withColumn("quality", quality_score(F.col(text_col))).withColumn(
+        "lang", language_id(F.col(text_col))
+    )
+    cur = _n("input", cur)
+
+    if min_quality is not None:
+        cur = _n("quality_filter", cur.where(F.col("quality") >= min_quality))
+    if langs:
+        cur = _n("lang_filter", cur.where(F.col("lang").isin(langs)))
+
+    # exact dedup: one keeper (min id) per identical text — the shuffle
+    # carries (fp64, id), never the documents
+    keepers = (
+        cur.select(F.xxhash64(F.col(text_col)).alias("_fp"), F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    cur = _n("exact_dedup", cur.join(keepers, id_col, "left_semi"))
+
+    if near_dup:
+        # candidates from banded LSH (bare pairs — the verify stage
+        # recomputes true similarity), verified by exact n-gram Jaccard,
+        # collapsed to components; drop everything but each component's
+        # minimum-id representative
+        cand = minhash_lsh_dupes(
+            cur,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            include_est=False,
+        ).localCheckpoint()
+        verified = (
+            ngram_jaccard_pairs(cur, cand, text_col, id_col)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+        drops = (
+            dedup_groups(verified)
+            .where(F.col("id") != F.col("group_id"))
+            .select(F.col("id").alias(id_col))
+        )
+        cur = _n("near_dedup", cur.join(drops, id_col, "left_anti"))
+
+    if sample_rates:
+        cur = _n(
+            "sample",
+            stratified_mix(cur, sample_rates, by=sample_by, id_col=id_col),
+        )
+    elif sample_rate is not None:
+        cur = _n("sample", deterministic_sample(cur, sample_rate, id_col=id_col))
+
+    return cur, stats

@@ -503,3 +503,62 @@ def test_train_centroids_distributed_kmeans_parallel(spark, embs):
     a = approx.sort_values(key).reset_index(drop=True)
     e = exact.sort_values(key).reset_index(drop=True)
     assert (a["id"] == e["id"]).all()
+
+
+# ------------------------------------------------------------ curation
+def test_curation_pipeline_end_to_end(spark, docs):
+    """plans/curation.py: the composed annotate -> filter -> exact dedup
+    -> near-dedup -> sample plan drops planted exact dupes, collapses a
+    planted near-dup CHAIN to one representative, and reports monotone
+    per-stage survivor counts."""
+    from logtrics_spark.plans.curation import curate
+
+    base = docs.limit(40).select("doc_id", "text", "source")
+    # exact dupes: copies of 5 docs under new ids
+    exact = base.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    # near-dup chain off doc 0: A(original) ~ B(+word) ~ C(+2 words)
+    b = (
+        base.limit(1)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat("text", F.lit(" extraword")))
+    )
+    c = (
+        base.limit(1)
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn("text", F.concat("text", F.lit(" extraword twomore")))
+    )
+    corpus = base.unionByName(exact).unionByName(b).unionByName(c)
+
+    kept, stats = curate(
+        corpus, min_quality=None, near_dup=True, jaccard_threshold=0.5
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert stats["input"] == 47
+    assert stats["exact_dedup"] == 42  # 5 exact copies dropped
+    assert not any(i >= 100000 for i in ids)  # copies AND chain members gone
+    assert 0 in ids  # the chain representative (min id) survives
+    # the planted chain (2 rows) is gone; the synthetic corpus may
+    # contain a few naturally-similar base docs that also collapse
+    assert 38 <= stats["near_dedup"] <= 40
+    # survivor counts are monotone through the stages
+    vals = [stats[s] for s in ("input", "exact_dedup", "near_dedup")]
+    assert vals == sorted(vals, reverse=True)
+    assert {"quality", "lang"} <= set(kept.columns)
+
+    # filters + deterministic sampling compose; stats lazy-off works
+    kept2, stats2 = curate(
+        corpus,
+        min_quality=0.0,
+        langs=["en"],
+        near_dup=False,
+        sample_rates={"web": 1.0},
+        sample_by="source",
+        collect_stats=False,
+    )
+    assert stats2 == {}
+    got = kept2.count()
+    again = curate(
+        corpus, min_quality=0.0, langs=["en"], near_dup=False,
+        sample_rates={"web": 1.0}, sample_by="source", collect_stats=False,
+    )[0].count()
+    assert got == again  # rerun-stable (md5-bucket sampling, no rand())
