@@ -1346,9 +1346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        # --- rotation tail: driver-green r02-r04, pytest-pinned core --
+        # (everything below position ~50 sits outside the driver's
+        # correctness window this round; all of it has r04 driver rows)
         "dedup_groups": q_dedup_groups,
         "tokseq_tiers": q_tokseq_tiers,
-        # --- rotation tail: driver-green r02-r04, pytest-pinned core --
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "cascade_1h": q_cascade_1h,
