@@ -18,11 +18,56 @@ no Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger("logtrics_spark.dedup")
+
+
+def _split_oversized_buckets(banded: DataFrame, max_bucket_size: int, label: str):
+    """Split banded LSH rows into (small, big) by per-(band,bucket) size.
+
+    A pathological bucket — e.g. millions of byte-identical documents
+    landing in one (band, bucket) — would otherwise generate a
+    quadratic within-bucket join task that no amount of partitioning
+    saves.  Oversized buckets are STAR-COLLAPSED by the callers (every
+    member pairs with the bucket's min-id representative: O(bucket)
+    pairs, and the downstream verify -> connected-components closure
+    reaches the same components for true duplicate clusters), never
+    silently dropped; the bucket count/sizes are logged here (the
+    oversized key list is bounded by N / max_bucket_size, so the
+    collect is small by construction).
+
+    Returns ``(small, big)`` where ``big`` is None when nothing exceeds
+    the cap.  Callers should persist ``banded`` first — the size
+    aggregation materializes it once and the join passes reuse it.
+    """
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    big_keys = sizes.where(F.col("n") > max_bucket_size)
+    rows = big_keys.collect()
+    if not rows:
+        return banded, None
+    logger.warning(
+        "%s: %d (band,bucket) groups exceed max_bucket_size=%d "
+        "(%d rows total, largest=%d); star-collapsing each to "
+        "representative pairs instead of a quadratic join (no pairs "
+        "are silently dropped; transitive closure through the "
+        "representative preserves duplicate components)",
+        label,
+        len(rows),
+        max_bucket_size,
+        sum(r["n"] for r in rows),
+        max(r["n"] for r in rows),
+    )
+    keys = big_keys.select("band", "bucket")
+    small = banded.join(F.broadcast(keys), ["band", "bucket"], "left_anti")
+    big = banded.join(F.broadcast(keys), ["band", "bucket"])
+    return small, big
 
 # ------------------------------------------------------------- exact
 
@@ -117,6 +162,33 @@ def _ensure_parallel(df: DataFrame, id_col: str) -> DataFrame:
 # ------------------------------------------------------------ minhash
 
 
+class _DeprecatedSigsHandle:
+    """Deprecation shim for ``minhash_lsh_dupes(...).persisted_sigs``.
+
+    Forwards everything to the persisted signature DataFrame but warns
+    on first attribute access: the attribute-on-DataFrame contract was
+    fragile (lost on any further transformation), so callers should
+    manage the cache explicitly via the ``sigs=`` parameter instead.
+    """
+
+    def __init__(self, sigs: DataFrame):
+        object.__setattr__(self, "_sigs", sigs)
+
+    def __getattr__(self, name):
+        import warnings
+
+        warnings.warn(
+            "minhash_lsh_dupes(...).persisted_sigs is deprecated: pass "
+            "sigs=minhash_signature(...).persist() and unpersist that "
+            "handle yourself (the attribute is lost on any further "
+            "DataFrame transformation, so this contract cannot be "
+            "relied on)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return getattr(object.__getattribute__(self, "_sigs"), name)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -162,6 +234,7 @@ def minhash_lsh_dupes(
     threshold: float | None = None,
     include_est: bool = True,
     sigs: DataFrame | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH on minhash signatures.
 
@@ -175,22 +248,30 @@ def minhash_lsh_dupes(
 
     Scale shape: explode to (band_hash, id) -> self-join within band
     buckets.  The join key is (band, band_hash) so only same-bucket
-    pairs materialize; a pathological bucket (thousands of identical
-    docs) is the data telling you they ARE duplicates.
+    pairs materialize.  A pathological bucket (a mass-identical cluster
+    bigger than ``max_bucket_size``) is guarded: its members pair with
+    the bucket's min-id REPRESENTATIVE only (O(bucket) rows instead of
+    O(bucket^2)), with the collapse logged per bucket — duplicate
+    components survive the downstream verify + connected-components
+    closure because every member remains linked through the
+    representative; what CAN be lost are pairs between two members
+    that each fail verification against the representative yet would
+    pass against each other (impossible for identical texts, the case
+    that actually produces oversized buckets).  Pass
+    ``max_bucket_size=None`` to disable the guard.  When the guard is
+    armed the banded frame is persisted (3 longs per doc per band) so
+    the size scan and the join passes share one computation.
 
-    Caching contract: when est_jaccard is computed the signature frame
-    is persisted (reused by the banding pass + two joins).  The handle
-    is exposed as ``result.persisted_sigs`` — long-lived sessions that
-    call this repeatedly should ``result.persisted_sigs.unpersist()``
-    once the returned plan has been materialized, or cached state
-    accumulates until LRU eviction.  NB: the attribute lives on the
-    returned object only — any further transformation loses it, so grab
-    it before chaining.  For fully explicit lifetimes pass
+    Caching contract: when est_jaccard is computed (or the bucket guard
+    is armed) internal frames are persisted and left LRU-evictable.
+    Callers who need explicit cache lifetimes pass
     ``sigs=minhash_signature(...).persist()`` (caller-managed, same
     pattern as similarity.assign_corpus; MUST be built with the same
-    num_hashes/shingle_k) and nothing is persisted here.
-    With ``include_est=False`` and no threshold nothing is persisted
-    either.
+    num_hashes/shingle_k) and no signature frame is persisted here.
+    DEPRECATED: the old ``result.persisted_sigs`` attribute handle is
+    still set for one release but warns on access — it silently
+    vanished on any further DataFrame transformation, which made the
+    cleanup contract unenforceable; use the ``sigs=`` parameter.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -232,18 +313,34 @@ def minhash_lsh_dupes(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    big = None
+    if max_bucket_size is not None:
+        banded = banded.persist()
+        small, big = _split_oversized_buckets(
+            banded, max_bucket_size, "minhash_lsh_dupes"
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        small = banded
+
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if big is not None:
+        # star collapse: every member of an oversized bucket pairs with
+        # the bucket's min-id representative (id_a < id_b by construction)
+        reps = big.groupBy("band", "bucket").agg(F.min("id").alias("id_a"))
+        star = (
+            big.join(F.broadcast(reps), ["band", "bucket"])
+            .where(F.col("id") != F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"))
+        )
+        pairs = pairs.unionByName(star)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     if not need_est:
         return pairs
     # est_jaccard only for surviving (deduped) candidate pairs
@@ -266,7 +363,8 @@ def minhash_lsh_dupes(
     if threshold is not None:
         out = out.where(F.col("est_jaccard") >= threshold)
     if not caller_sigs:
-        out.persisted_sigs = sigs  # cleanup handle (see docstring)
+        # deprecated cleanup handle (see docstring): warns on first use
+        out.persisted_sigs = _DeprecatedSigsHandle(sigs)
     return out
 
 
@@ -311,6 +409,7 @@ def simhash_dupes(
     id_col: str = "doc_id",
     band_bits: int = 16,
     max_hamming: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Candidate near-dup pairs via the band-split trick on 64-bit
     simhashes: with B = 64/band_bits bands, any pair at Hamming distance
@@ -326,11 +425,16 @@ def simhash_dupes(
     pairs with 4-8 differing bits spread across bands).
     Output: (id_a, id_b, hamming).
     """
-    return simhash_band_pairs(simhash64(df, text_col, id_col), band_bits, max_hamming)
+    return simhash_band_pairs(
+        simhash64(df, text_col, id_col), band_bits, max_hamming, max_bucket_size
+    )
 
 
 def simhash_band_pairs(
-    sims: DataFrame, band_bits: int = 16, max_hamming: int | None = None
+    sims: DataFrame,
+    band_bits: int = 16,
+    max_hamming: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """(id, simhash) -> candidate pairs agreeing on >=1 band.
 
@@ -347,6 +451,16 @@ def simhash_band_pairs(
 
     Split out from ``simhash_dupes`` so the pigeonhole guarantee is
     directly testable on crafted simhash values (tests/test_trainops.py).
+
+    ``max_bucket_size`` guards pathological buckets (a mass-identical
+    cluster): members pair with the bucket's min-id representative
+    only — O(bucket) rows, hamming computed and cut against the
+    representative — with the collapse logged (see
+    ``_split_oversized_buckets``).  Inside a collapsed bucket the
+    pigeonhole recall guarantee narrows to pairs THROUGH the
+    representative; for the identical-document clusters that actually
+    produce oversized buckets every hamming is 0 and the closure is
+    unaffected.  ``None`` disables the guard.
     """
     if 64 % band_bits:
         raise ValueError("band_bits must divide 64")
@@ -371,9 +485,17 @@ def simhash_band_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
+    big = None
+    if max_bucket_size is not None:
+        banded = banded.persist()
+        small, big = _split_oversized_buckets(
+            banded, max_bucket_size, "simhash_band_pairs"
+        )
+    else:
+        small = banded
+    a, b = small.alias("a"), small.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -387,8 +509,23 @@ def simhash_band_pairs(
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if big is not None:
+        # star collapse: members pair with the bucket's min-id
+        # representative; hamming computed against the representative
+        # and cut at the same radius
+        reps = big.groupBy("band", "bucket").agg(
+            F.min("id").alias("id_a"), F.min_by("simhash", "id").alias("rsim")
+        )
+        ham_s = F.bit_count(F.col("rsim").bitwiseXOR(F.col("simhash")))
+        star = (
+            big.join(F.broadcast(reps), ["band", "bucket"])
+            .where(F.col("id") != F.col("id_a"))
+            .where(ham_s <= max_hamming)
+            .select("id_a", F.col("id").alias("id_b"), ham_s.alias("hamming"))
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 # ----------------------------------------------------- n-gram jaccard

@@ -682,22 +682,32 @@ def grep_series(
     pattern: str,
     name_cols: list[str] | None = None,
     exclude: bool = False,
+    prefix: str | None = None,
 ) -> DataFrame:
     """Graphite ``grep(seriesList, pattern)``: keep only series whose
     dotted name matches the regex (``rlike`` = unanchored search, the
     same semantics as Graphite's ``re.search``).  The filter is a plain
     Catalyst predicate on the key columns, so it reaches the scan as a
-    pushed filter and prunes before any shuffle."""
-    cond = _series_name(name_cols).rlike(pattern)
+    pushed filter and prunes before any shuffle.
+
+    ``prefix`` prepends the same namespace component the Graphite sink
+    prepends to emitted names (sinks/graphite.py:129) — a regex written
+    against the wire name (e.g. ``^logtrics\\.web01\\.``) then matches
+    here too, and node indices line up with :func:`alias_by_node` /
+    :func:`group_by_node`, which take the same parameter."""
+    cond = _series_name(name_cols, prefix).rlike(pattern)
     return tier_df.where(~cond if exclude else cond)
 
 
 def exclude_series(
-    tier_df: DataFrame, pattern: str, name_cols: list[str] | None = None
+    tier_df: DataFrame,
+    pattern: str,
+    name_cols: list[str] | None = None,
+    prefix: str | None = None,
 ) -> DataFrame:
     """Graphite ``exclude(seriesList, pattern)``: drop matching series
     (the complement of :func:`grep_series`)."""
-    return grep_series(tier_df, pattern, name_cols, exclude=True)
+    return grep_series(tier_df, pattern, name_cols, exclude=True, prefix=prefix)
 
 
 def alias_series(
@@ -801,10 +811,25 @@ def n_percentile(
     p: float,
     key: list[str] | None = None,
     out_col: str | None = None,
+    interpolate: bool = True,
 ) -> DataFrame:
     """Graphite ``nPercentile(seriesList, n)``: each slot carries its
-    SERIES' p-percentile as a flat line (exact interpolated percentile,
-    the same definition DuckDB's quantile_cont uses; NaN excluded)."""
+    SERIES' p-percentile as a flat line (NaN excluded).
+
+    ``interpolate=True`` (this function's default) is the exact
+    interpolated percentile — the same definition as DuckDB's
+    quantile_cont and Spark's ``percentile``.  NOTE: Graphite-web's own
+    ``_getPercentile`` defaults to ``interpolate=False`` — the NIST
+    rank-selection estimator (sorted[clamp(ceil(p*(N+1)), 1, N)]),
+    which diverges from the interpolated value on short series.  Pass
+    ``interpolate=False`` for bit-parity with Graphite's
+    nPercentile/removeAbovePercentile/removeBelowPercentile defaults;
+    the interpolated default is kept here because it matches the
+    engine's other quantile surfaces (timer percentiles, t-digest).
+    Both variants are pure Catalyst: interpolated = one window
+    ``percentile``; rank-selection = one window ``collect_list`` +
+    ``array_sort`` + ``element_at`` (frames are tier-sized — slots per
+    series — never raw-data-sized)."""
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"p must be in [0, 1], got {p}")
     key = key or KEY
@@ -814,9 +839,18 @@ def n_percentile(
     out = out_col or "p" + ("%g" % (p * 100)).replace(".", "") + f"_{value_col}"
     v = F.col(value_col)
     w = Window.partitionBy(*key)
-    return tier_df.withColumn(
-        out, F.percentile(F.when(~F.isnan(v), v), F.lit(p)).over(w)
-    )
+    if interpolate:
+        return tier_df.withColumn(
+            out, F.percentile(F.when(~F.isnan(v), v), F.lit(p)).over(w)
+        )
+    # Graphite _getPercentile(interpolate=False): 1-based rank
+    # ceil(p * (N + 1)) into the sorted non-null values, clamped to
+    # [1, N] (rank 0 -> first element, rank N+1 -> last).
+    arr = F.array_sort(F.collect_list(F.when(~F.isnan(v), v)).over(w))
+    n = F.size(arr)
+    rank = F.ceil(F.lit(float(p)) * (n + F.lit(1)).cast("double")).cast("int")
+    idx = F.greatest(F.lit(1), F.least(rank, n))
+    return tier_df.withColumn(out, F.when(n > 0, F.element_at(arr, idx)))
 
 
 def remove_above_percentile(
@@ -826,15 +860,20 @@ def remove_above_percentile(
     key: list[str] | None = None,
     out_col: str | None = None,
     threshold_col: str | None = None,
+    interpolate: bool = True,
 ) -> DataFrame:
     """Graphite ``removeAbovePercentile``: null values above the
     series' own p-percentile (computed over the frame, NaN excluded).
     ``threshold_col`` reuses an existing per-series percentile column
     (e.g. n_percentile's output) instead of recomputing the window
-    aggregate — Catalyst does not dedupe identical window passes."""
+    aggregate — Catalyst does not dedupe identical window passes.
+    ``interpolate=False`` selects Graphite _getPercentile's default
+    NIST rank estimator (see :func:`n_percentile`)."""
     out = out_col or value_col
     if threshold_col is None:
-        d = n_percentile(tier_df, value_col, p, key, out_col="_thresh")
+        d = n_percentile(
+            tier_df, value_col, p, key, out_col="_thresh", interpolate=interpolate
+        )
         thresh, drop = F.col("_thresh"), ["_thresh"]
     else:
         d, thresh, drop = tier_df, F.col(threshold_col), []
@@ -849,11 +888,16 @@ def remove_below_percentile(
     key: list[str] | None = None,
     out_col: str | None = None,
     threshold_col: str | None = None,
+    interpolate: bool = True,
 ) -> DataFrame:
-    """Graphite ``removeBelowPercentile``: the complement."""
+    """Graphite ``removeBelowPercentile``: the complement
+    (``interpolate=False`` = Graphite's rank-selection default, see
+    :func:`n_percentile`)."""
     out = out_col or value_col
     if threshold_col is None:
-        d = n_percentile(tier_df, value_col, p, key, out_col="_thresh")
+        d = n_percentile(
+            tier_df, value_col, p, key, out_col="_thresh", interpolate=interpolate
+        )
         thresh, drop = F.col("_thresh"), ["_thresh"]
     else:
         d, thresh, drop = tier_df, F.col(threshold_col), []

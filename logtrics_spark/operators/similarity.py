@@ -207,7 +207,12 @@ def build_ivf_index(
         centroids = train_centroids(corpus, n_centroids, vec_col=vec_col)
     assign1 = _nearest_centroids_udf(centroids, 1)
     (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        # pin the stored element type to double: appended deltas may
+        # arrive as float32 or (after any arithmetic transform) float64,
+        # and parquet readers reject mixed element types across files
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
         .withColumn("cid", assign1(F.col("v"))[0])
         .withColumn("nv", _norm(F.col("v")))
         .write.mode("overwrite")
@@ -221,7 +226,93 @@ def build_ivf_index(
     spark.createDataFrame(cent_rows).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
+    # training-time assignment-quality baseline: mean squared distance
+    # of indexed vectors to their assigned centroid.  ivf_drift compares
+    # the index's CURRENT value against this to decide when appends have
+    # shifted the distribution enough to warrant retraining.
+    base = _index_mean_sq_dist(spark, path)
+    spark.createDataFrame(
+        pd.DataFrame({"metric": ["mean_sq_dist"], "value": [base[0]], "n": [base[1]]})
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return centroids
+
+
+def _index_mean_sq_dist(spark, path: str) -> tuple[float, int]:
+    """(mean squared distance to assigned centroid, n vectors) over the
+    index's lists — one JVM-side pass: broadcast centroid join +
+    zip_with/aggregate, no Python in the loop."""
+    lists = spark.read.parquet(f"{path}/lists")
+    cents = spark.read.parquet(f"{path}/centroids")
+    sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        lists.join(F.broadcast(cents), "cid")
+        .agg(F.avg(sq).alias("m"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    return float(row["m"] or 0.0), int(row["n"])
+
+
+def append_to_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Incremental IVF maintenance: assign ONLY the new vectors against
+    the index's EXISTING centroids and append them into their ``cid=``
+    partitions — no rebuild, no full-corpus rescan.
+
+    This is how a growing 100 TB corpus stays indexed: daily deltas
+    append (cost = O(|delta|) assignment + partitioned write), centroids
+    stay fixed, and :func:`ivf_drift` tells the operator when the data
+    distribution has moved enough that the fixed centroids are hurting
+    recall and a :func:`build_ivf_index` retrain is due.  Query results
+    after an append are identical to a full rebuild ON THE SAME
+    CENTROIDS (appends only add rows to lists; pinned by
+    tests/test_trainops.py), though a rebuild may TRAIN different
+    centroids.  Returns the centroids used for assignment.
+    """
+    spark = new_rows.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cid").toPandas()
+    centroids = np.array(cents["centroid"].tolist(), dtype=np.float64)
+    # same array<double> pin as build_ivf_index: every list file must
+    # carry the identical element type or the pruned scan fails
+    assigned = assign_corpus(
+        new_rows.withColumn(vec_col, F.col(vec_col).cast("array<double>")),
+        centroids,
+        id_col,
+        vec_col,
+    )
+    assigned.write.mode("append").partitionBy("cid").parquet(f"{path}/lists")
+    return centroids
+
+
+def ivf_drift(spark, path: str, retrain_ratio: float = 1.5) -> dict:
+    """Centroid-drift metric for an appended-to IVF index.
+
+    Compares the CURRENT mean squared distance of indexed vectors to
+    their assigned centroid against the TRAINING-time baseline recorded
+    by ``build_ivf_index``.  A ratio near 1.0 means appends look like
+    the training distribution; a ratio >= ``retrain_ratio`` means the
+    fixed centroids no longer summarize the corpus (lists are getting
+    fat and probes lossy) and a retrain is due.  Returns
+    ``{"baseline", "current", "n", "ratio", "retrain"}``.
+    """
+    stats = spark.read.parquet(f"{path}/stats").toPandas()
+    baseline = float(stats.loc[stats["metric"] == "mean_sq_dist", "value"].iloc[0])
+    current, n = _index_mean_sq_dist(spark, path)
+    ratio = current / baseline if baseline > 0 else float("inf") if current > 0 else 1.0
+    return {
+        "baseline": baseline,
+        "current": current,
+        "n": n,
+        "ratio": ratio,
+        "retrain": ratio >= retrain_ratio,
+    }
 
 
 def query_ivf_index(

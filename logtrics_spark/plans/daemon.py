@@ -81,15 +81,25 @@ def _resolve_sketch_versions(df: DataFrame, val_cols: list[str]) -> DataFrame:
     union of disjoint event sets.
     """
     keys = [c for c in ("source", "metric", "kind", "window_start") if c in df.columns]
-    picks = [F.max_by(c, "flush_seq").alias(c) for c in val_cols]
+    # ONE max_by over a struct of all value columns: flush_seq is stamped
+    # per process as max(seq+1, epoch_micros), so a live daemon and a CLI
+    # compact can tie on the same microsecond — independent per-column
+    # max_by calls could then mix columns from different rows (e.g. MG
+    # 'items' from one version, 'counts' from another).  The struct pick
+    # is atomic: every value column comes from the same winning row.
+    pick = F.max_by(F.struct(*val_cols), "flush_seq").alias("_v")
+    expand = [F.col(f"_v.{c}").alias(c) for c in val_cols]
     snap = (
-        df.where(F.col("origin") != "stream").groupBy(*keys).agg(*picks)
+        df.where(F.col("origin") != "stream")
+        .groupBy(*keys)
+        .agg(pick)
+        .select(*keys, *expand)
     )
     stream = (
         df.where(F.col("origin") == "stream")
         .groupBy("batch_seq", *keys)
-        .agg(*picks)
-        .select(*keys, *val_cols)
+        .agg(pick)
+        .select(*keys, *expand)
     )
     return snap.unionByName(stream)
 
@@ -107,8 +117,12 @@ def resolve_latest(tier_df: DataFrame) -> DataFrame:
         return tier_df
     keys = [c for c in ("source", "metric", "kind", "window_start") if c in tier_df.columns]
     vals = [c for c in tier_df.columns if c not in keys and c != "flush_seq"]
-    return tier_df.groupBy(*keys).agg(
-        *[F.max_by(c, "flush_seq").alias(c) for c in vals]
+    # atomic struct pick — a flush_seq tie must never mix columns from
+    # different snapshot rows (see _resolve_sketch_versions)
+    return (
+        tier_df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*vals), "flush_seq").alias("_v"))
+        .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in vals])
     )
 
 
@@ -539,7 +553,9 @@ class Daemon:
                     snap = (
                         df.where(F.col("origin") != "stream")
                         .groupBy(*keys)
-                        .agg(*[F.max_by(c, "flush_seq").alias(c) for c in vals])
+                        # atomic struct pick (see _resolve_sketch_versions)
+                        .agg(F.max_by(F.struct(*vals), "flush_seq").alias("_v"))
+                        .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in vals])
                         .withColumn("origin", F.lit("compact"))
                         .withColumn("batch_seq", F.lit(-1))
                         .withColumn("flush_seq", F.lit(self._next_flush_seq()))
@@ -654,12 +670,20 @@ class Daemon:
         counts: dict[str, int] = {}
         for t in tiers[1:]:
             cur = cascade(prev, prev_tier, t).localCheckpoint()
-            out = (
-                cur.withColumn("day", _day("window_start"))
-                .withColumn("tier", F.lit(t))
-                .withColumn("flush_seq", F.lit(self._next_flush_seq()))
-            )
-            self.io.write_partitioned(out, "tiers", ["tier", "day"], overwrite_dynamic=False)
+            # scalar appends take the same cross-process store guard as
+            # _sink/_write_sketch_rows: a concurrent CLI compact's
+            # read-then-dynamic-overwrite must not drop this append
+            # landing in between (the flush_seq stamp rides inside the
+            # guard so the compact's own stamp orders after it)
+            with self._store_guard():
+                out = (
+                    cur.withColumn("day", _day("window_start"))
+                    .withColumn("tier", F.lit(t))
+                    .withColumn("flush_seq", F.lit(self._next_flush_seq()))
+                )
+                self.io.write_partitioned(
+                    out, "tiers", ["tier", "day"], overwrite_dynamic=False
+                )
             counts[t] = cur.count()
             prev, prev_tier = cur, t
         # sketch tiers ride the same cascade: coarser windows get MERGED

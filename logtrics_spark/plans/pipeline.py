@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from logtrics_spark.operators.extract import extract_points
 from logtrics_spark.operators.gorilla import compress_tier, decompress_chunks
 from logtrics_spark.operators.rollup import TIER_ORDER, cascade, rollup
+from logtrics_spark.operators.sketchset import KIND_VALS
 from logtrics_spark.storage.tableio import ParquetTableIO
 
 DAY_FMT = "yyyy-MM-dd"
@@ -510,9 +511,17 @@ class RollupJob:
             if tier not in self.tiers:
                 raise ValueError(f"unknown tier {tier!r}")
             cutoff = (t0 - _dt.timedelta(days=days)).isoformat()
+            # auto-detect EXISTING sk_* tables (mirror the daemon's
+            # _sketch_kinds_effective) rather than keying off the
+            # configured list: a bare `rollup` CLI run without
+            # --sketches must still age out sketch partitions written
+            # by an earlier sketch-enabled job, or they live forever
+            sk_kinds = set(self.sketchset.enabled) | {
+                k for k in KIND_VALS if self.io.exists(f"sk_{k}")
+            }
             sk_tables = [
                 f"sk_{k}/tier={tier}"
-                for k in self.sketchset.enabled
+                for k in sorted(sk_kinds)
                 if self.io.exists(f"sk_{k}/tier={tier}")
             ]
             for table in (f"tiers/tier={tier}", f"chunks/tier={tier}", *sk_tables):

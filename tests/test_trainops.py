@@ -562,3 +562,156 @@ def test_curation_pipeline_end_to_end(spark, docs):
         sample_rates={"web": 1.0}, sample_by="source", collect_stats=False,
     )[0].count()
     assert got == again  # rerun-stable (md5-bucket sampling, no rand())
+
+
+# ------------------------------------------- LSH oversized-bucket guard
+def test_lsh_oversized_bucket_guard_minhash(spark, caplog):
+    """10k identical docs (one pathological LSH bucket per band): the
+    guard star-collapses the bucket — O(N) candidate pairs through the
+    min-id representative instead of an O(N^2) within-bucket join —
+    logs the collapse, and the connected-components closure still
+    recovers the full duplicate cluster."""
+    import logging
+
+    from logtrics_spark.operators.dedup import dedup_groups, minhash_lsh_dupes
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog every day").alias(
+            "text"
+        ),
+    )
+    with caplog.at_level(logging.WARNING, logger="logtrics_spark.dedup"):
+        pairs = minhash_lsh_dupes(
+            docs, include_est=False, max_bucket_size=500
+        ).toPandas()
+    # the collapse is reported, not silent
+    assert any("max_bucket_size" in r.message for r in caplog.records)
+    # star shape: every pair goes through the representative (id 0),
+    # so exactly N-1 pairs — a quadratic join would give ~50M
+    assert len(pairs) == n - 1
+    assert (pairs["id_a"] == 0).all()
+    assert set(pairs["id_b"]) == set(range(1, n))
+    # closure over the star recovers ONE duplicate cluster of size N
+    groups = dedup_groups(spark.createDataFrame(pairs[["id_a", "id_b"]]))
+    gp = groups.toPandas()
+    assert len(gp) == n
+    assert (gp["group_id"] == 0).all()
+
+
+def test_lsh_oversized_bucket_guard_preserves_small_buckets(spark, docs):
+    """Buckets under the cap keep the exact quadratic-join semantics:
+    with a cap far above any real bucket, results are identical to the
+    unguarded operator."""
+    from logtrics_spark.operators.dedup import minhash_lsh_dupes
+
+    near = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    both = docs.unionByName(near)
+    guarded = minhash_lsh_dupes(both, threshold=0.5, max_bucket_size=4096).toPandas()
+    unguarded = minhash_lsh_dupes(both, threshold=0.5, max_bucket_size=None).toPandas()
+    key = ["id_a", "id_b"]
+    assert (
+        guarded.sort_values(key)[key].to_numpy()
+        == unguarded.sort_values(key)[key].to_numpy()
+    ).all()
+
+
+def test_lsh_oversized_bucket_guard_simhash(spark, caplog):
+    """Simhash variant: identical docs share one simhash, the star
+    pairs carry hamming=0 and the hamming cut still applies."""
+    import logging
+
+    from logtrics_spark.operators.dedup import simhash_dupes
+
+    n = 3_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical content for every single row in this table").alias("text"),
+    )
+    with caplog.at_level(logging.WARNING, logger="logtrics_spark.dedup"):
+        pairs = simhash_dupes(docs, max_bucket_size=200).toPandas()
+    assert any("simhash_band_pairs" in r.message for r in caplog.records)
+    assert len(pairs) == n - 1
+    assert (pairs["id_a"] == 0).all()
+    assert (pairs["hamming"] == 0).all()
+
+
+def test_persisted_sigs_attribute_is_deprecated(spark, docs):
+    import warnings
+
+    from logtrics_spark.operators.dedup import minhash_lsh_dupes
+
+    out = minhash_lsh_dupes(docs.limit(50))
+    with pytest.warns(DeprecationWarning, match="persisted_sigs is deprecated"):
+        out.persisted_sigs.unpersist()
+
+
+# ------------------------------------------------- incremental IVF index
+def test_ivf_append_matches_full_rebuild(spark, embs, tmp_path):
+    """append_to_ivf_index(delta) + query == build_ivf_index(full corpus)
+    on the SAME centroids + query — appends only add list rows."""
+    from logtrics_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+        train_centroids,
+    )
+
+    cents = train_centroids(embs, 8)
+    base, delta = embs.where("vec_id < 250"), embs.where("vec_id >= 250")
+    queries = embs.where("vec_id < 5")
+
+    inc_path = str(tmp_path / "ivf_inc")
+    build_ivf_index(base, inc_path, centroids=cents)
+    used = append_to_ivf_index(delta, inc_path)
+    assert np.allclose(used, cents)
+
+    full_path = str(tmp_path / "ivf_full")
+    build_ivf_index(embs, full_path, centroids=cents)
+
+    key = ["query_id", "rank"]
+    inc = query_ivf_index(spark, inc_path, queries, k=5, nprobe=3).toPandas()
+    full = query_ivf_index(spark, full_path, queries, k=5, nprobe=3).toPandas()
+    assert (
+        inc.sort_values(key)["id"].to_numpy() == full.sort_values(key)["id"].to_numpy()
+    ).all()
+
+
+def test_ivf_drift_flags_shifted_distribution(spark, embs, tmp_path):
+    """Drift metric: appending in-distribution rows keeps the ratio ~1;
+    appending a shifted distribution pushes it over the retrain bar."""
+    from logtrics_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_drift,
+    )
+
+    path = str(tmp_path / "ivf_drift")
+    build_ivf_index(embs, path, n_centroids=8)
+    d0 = ivf_drift(spark, path)
+    assert d0["n"] == 500
+    assert abs(d0["ratio"] - 1.0) < 1e-9 and not d0["retrain"]
+
+    # in-distribution delta: same vectors under new ids
+    same = embs.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), F.col("embedding")
+    )
+    append_to_ivf_index(same, path)
+    d1 = ivf_drift(spark, path)
+    assert d1["n"] == 1000
+    assert abs(d1["ratio"] - 1.0) < 1e-6 and not d1["retrain"]
+
+    # shifted delta: constant offset moves every vector away from the
+    # trained centroids -> mean distance inflates -> retrain signal
+    shifted = embs.select(
+        (F.col("vec_id") + 20_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(25.0)).alias("embedding"),
+    )
+    append_to_ivf_index(shifted, path)
+    d2 = ivf_drift(spark, path)
+    assert d2["ratio"] > 1.5 and d2["retrain"]
