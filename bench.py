@@ -78,26 +78,27 @@ def main() -> None:
     # ---- driver queries at sf_dir ---------------------------------------
     qs = entrymod.queries()
     rows: dict[str, int] = {}
+    # r6: the registry composed related queries into chained entries
+    # (tiers_chain = rollup_1m+1h+cascade+stddev, instruments_chain =
+    # gauge+meter+timer+counter, gapfill_chain_1h = locf+keeplast+
+    # linear, text_extract_stats = extract_regex+text_stats), so those
+    # bench rows time the CHAIN; vs_prev has no prior row for the new
+    # names in their first round.
     for name in [
-        "rollup_1m",
-        "cascade_1h",
-        "cum_counter_1d",
-        "timer_pcts_1d",
-        "gapfill_locf_1h",
-        "gapfill_keeplast_1h",
-        "gapfill_linear_1h",
+        "tiers_chain",
+        "instruments_chain",
+        "gapfill_chain_1h",
         "gorilla_roundtrip",
-        "extract_regex",
+        "text_extract_stats",
         "dedup_exact",
-        "text_stats",
         "lang_id",
         "similarity_topk",
+        "similarity_ivf_append",
         "minhash_pairs",
         "simhash_pairs",
         "embedding_dupes",
         "graphite_lines",
         "dedup_groups",
-        "cascade_stddev_1h",
         "moving_avg_1h",
         "anomaly_zscore_1h",
         "topk_sources_1h",
@@ -127,6 +128,30 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
         rows[name] = n
+
+    # ---- composed curation pipeline (plans/curation.py) ------------------
+    # the single most user-visible composition in the repo: annotate ->
+    # filters -> exact dedup -> LSH near-dedup -> sample, timed end to
+    # end over the sf documents table (stats off: one lazy plan)
+    from logtrics_spark.plans.curation import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    best_cur = n_kept = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        kept, _ = curate(
+            docs,
+            min_quality=0.0,
+            near_dup=True,
+            jaccard_threshold=0.6,
+            sample_rate=0.9,
+            collect_stats=False,
+        )
+        n_kept = kept.count()
+        dt = time.perf_counter() - t0
+        best_cur = dt if best_cur is None or dt < best_cur else best_cur
+    timings["curation"] = round(best_cur, 3)
+    rows["curation"] = n_kept
 
     # ---- delta vs the previous round's recorded bench -------------------
     # regressions must be mechanically visible: vs_prev[q] = t_now/t_prev

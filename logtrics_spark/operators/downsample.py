@@ -31,10 +31,19 @@ from logtrics_spark.operators.rollup import KEY
 
 
 def lttb_fold(xs, ys, n_out: int):
-    """Pure-numpy reference: indices of the selected points.
+    """Pure-numpy fold: indices of the selected points.
 
     ``xs`` strictly increasing, ``ys`` finite; returns sorted indices,
     always including 0 and len-1 when n >= 2.
+
+    Bucket arithmetic follows the thesis pseudocode EXACTLY
+    (Steinarsson 2013, §4.2: ``every = (n-2)/(threshold-2)``, bucket i
+    spans ``[floor(i*every)+1, floor((i+1)*every)+1)``, the averaging
+    range of the next bucket is the i+1 span with its end clamped to
+    n) so an independent plain-Python port of the same published
+    definition selects the identical indices — that is what makes the
+    driver's side-channel oracle for ``lttb_1m`` a real cross-check
+    rather than a shared-code tautology.
     """
     n = len(xs)
     if n_out >= n:
@@ -43,17 +52,20 @@ def lttb_fold(xs, ys, n_out: int):
         raise ValueError(f"n_out must be >= 3, got {n_out}")
     xs = np.asarray(xs, dtype="float64")
     ys = np.asarray(ys, dtype="float64")
-    # bucket boundaries over the interior points [1, n-1)
-    edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
+    every = (n - 2) / (n_out - 2)
+    # edges[i] = floor(i*every) + 1 for i in 0..n_out-2 (so edges[0]=1,
+    # edges[n_out-2]=n-1), plus the clamped end of the final averaging
+    # range; i*every is the same float64 product the scalar pseudocode
+    # computes, so the floors agree bit-for-bit with a plain-Python port
+    edges = (np.arange(n_out - 1, dtype="float64") * every).astype("int64") + 1
+    edges = np.append(edges, min(int((n_out - 1) * every) + 1, n))
     selected = [0]
     prev = 0
     for b in range(n_out - 2):
         lo, hi = edges[b], edges[b + 1]
-        nxt_lo, nxt_hi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
-        if nxt_hi <= nxt_lo:
-            nxt_lo, nxt_hi = hi - 1, hi
-        cx = xs[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else xs[hi - 1]
-        cy = ys[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else ys[hi - 1]
+        nxt_lo, nxt_hi = edges[b + 1], min(edges[b + 2], n)
+        cx = xs[nxt_lo:nxt_hi].mean()
+        cy = ys[nxt_lo:nxt_hi].mean()
         # triangle area with apex at each candidate in [lo, hi)
         ax, ay = xs[prev], ys[prev]
         areas = np.abs(

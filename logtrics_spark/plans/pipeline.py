@@ -554,13 +554,22 @@ class RollupJob:
         fine ones."""
         return self.io.read(f"sk_{name}/tier={tier}").drop("day")
 
-    def read_tier_from_chunks(self, tier: str) -> DataFrame:
+    def read_tier_from_chunks(self, tier: str, ts_from=None, ts_to=None) -> DataFrame:
         """Serve a tier by decompressing its Gorilla chunks (the post-
         retention read path).  When the archived columns include the
         sum_sq moment, the timer stddev is restored as a derived column
-        (sample stddev, identical formula to the live tier rows)."""
-        out = decompress_chunks(
+        (sample stddev, identical formula to the live tier rows).
+
+        ``ts_from``/``ts_to`` (inclusive) prune at CHUNK granularity on
+        the stored min_ts/max_ts stats before any decompression — a
+        narrow dashboard range decompresses only overlapping chunks
+        (operators/gorilla.py::decompress_chunks_range)."""
+        from logtrics_spark.operators.gorilla import decompress_chunks_range
+
+        out = decompress_chunks_range(
             self.io.read(f"chunks/tier={tier}").drop("day"),
+            ts_from=ts_from,
+            ts_to=ts_to,
             value_cols=self.chunk_value_cols,
         )
         if "sum_sq" in out.columns:

@@ -71,7 +71,7 @@ def test_explain_queries_tool(spark, capsys):
     sys.path.insert(0, "/root/repo/tools")
     import explain_queries
 
-    assert explain_queries.main(["rollup_1m"]) == 0
+    assert explain_queries.main(["tiers_chain"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Exchange" in out
     assert explain_queries.main(["no_such_query"]) == 2

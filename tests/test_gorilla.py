@@ -170,3 +170,59 @@ def test_vectorized_encoders_bit_identical_to_reference():
         w = _BitWriter()
         _encode_vals(w, view)
         assert w.getvalue() == _encode_vals_codes(view, policy="greedy"), vals[:5]
+
+
+def test_range_read_prunes_chunks_and_matches_filter(spark, tmp_path):
+    """A narrow time-range read decompresses only the chunks whose
+    [min_ts, max_ts] overlap the range (a strict subset), the prune
+    predicate pushes to the parquet scan, and the rows are identical
+    to decompress-everything-then-filter."""
+    import pyspark.sql.functions as F
+
+    from logtrics_spark.datagen import gen_tokseq
+    from logtrics_spark.operators.extract import extract_points
+    from logtrics_spark.operators.gorilla import decompress_chunks_range
+    from logtrics_spark.operators.rollup import rollup
+
+    tier = rollup(extract_points(gen_tokseq(spark, 4000, partitions=3)), "1m")
+    chunks_df = compress_tier(tier, "1m", chunk_span="1h")
+    path = str(tmp_path / "chunks")
+    chunks_df.write.parquet(path)
+    chunks = spark.read.parquet(path)
+
+    # the synthesized tier spans ~2 one-hour chunk windows
+    # (00:00-00:59 and 01:00-01:06); this range overlaps only the second
+    lo, hi = "2024-01-01 01:00:00", "2024-01-01 01:30:00"
+    # chunk-level pruning: the range touches a strict subset of chunks
+    total = chunks.count()
+    touched = chunks.where(
+        (F.col("max_ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("min_ts") <= F.lit(hi).cast("timestamp"))
+    ).count()
+    assert 0 < touched < total, (touched, total)
+
+    got = decompress_chunks_range(chunks, lo, hi).toPandas()
+    # the min_ts/max_ts predicates reach the chunk scan as pushed filters
+    plan = decompress_chunks_range(chunks, lo, hi)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "max_ts" in plan.split("PushedFilters")[1][:200]
+
+    exp = (
+        decompress_chunks(chunks)
+        .where(
+            (F.col("window_start") >= F.lit(lo).cast("timestamp"))
+            & (F.col("window_start") <= F.lit(hi).cast("timestamp"))
+        )
+        .toPandas()
+    )
+    key = ["source", "metric", "kind", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ["cnt", "sum", "min", "max", "avg", "last"]:
+        a = got[c].to_numpy(dtype="float64")
+        b = exp[c].to_numpy(dtype="float64")
+        assert np.array_equal(a.view(np.uint64), b.view(np.uint64)), c
+    # open-ended bounds work too
+    assert decompress_chunks_range(chunks, ts_from=lo).count() == decompress_chunks(
+        chunks
+    ).where(F.col("window_start") >= F.lit(lo).cast("timestamp")).count()

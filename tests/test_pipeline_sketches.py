@@ -176,3 +176,27 @@ def test_enable_sketches_mid_history_resumes(spark, tok, tmp_path):
     # fine sketch history stays absent for the already-sealed days (the
     # documented cost of a mid-history enable)
     assert not job.io.exists("sk_tdigest/tier=1m")
+
+
+def test_retention_auto_detects_sketch_tables(spark, tok, tmp_path):
+    """A RollupJob constructed WITHOUT sketches= (e.g. a bare
+    `rollup` CLI run) must still age out sk_* day partitions written by
+    an earlier sketch-enabled job — retention auto-detects existing
+    sketch tables instead of keying off the configured list (mirrors
+    the daemon's _sketch_kinds_effective)."""
+    store = str(tmp_path / "s")
+    job = RollupJob(spark, store, step_seconds=STEP, sketches=SK)
+    job.ingest_raw(tok)
+    job.run(run_id="r")
+    assert job.io.list_partitions("sk_tdigest/tier=1m", "day")
+
+    bare = RollupJob(spark, store, step_seconds=STEP)  # no sketches=
+    dropped = bare.retention_tiers({"1m": 0, "5m": 0}, today="2099-01-01")
+    assert dropped
+    for k in ("tdigest", "mg", "hll"):
+        for t in ("1m", "5m"):
+            assert not bare.io.exists(f"sk_{k}/tier={t}") or not bare.io.list_partitions(
+                f"sk_{k}/tier={t}", "day"
+            ), (k, t)
+    # coarse sketch history untouched
+    assert bare.io.list_partitions("sk_tdigest/tier=1d", "day")

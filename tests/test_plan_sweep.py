@@ -25,13 +25,14 @@ SF_DIR = "/root/testdata/sf0.001"
 PY_ALLOWED = {
     "meter_ewma_1h": {"FlatMapGroupsInPandas"},  # EWMA recurrence fold
     "similarity_ivf": {"ArrowEvalPython"},  # centroid-assign pandas_udf
-    "similarity_ivf_store": {"ArrowEvalPython"},
+    "similarity_ivf_append": {"ArrowEvalPython"},  # delta assignment + probe
     "embedding_dupes": {"ArrowEvalPython"},  # hyperplane-signature matmul
     "gorilla_roundtrip": {"FlatMapGroupsInPandas", "MapInPandas"},  # codec
     "multimodal_features": {"MapInPandas"},  # decode seam
     "holtwinters_1h": {"FlatMapGroupsInPandas"},  # seasonal fold
     "lttb_1m": {"FlatMapGroupsInPandas"},  # bucket selection fold
-    "tokseq_tiers_arrow": {"MapInPandas", "ArrowEvalPython"},  # declared Arrow variant
+    # merged entry: the 'arrow' part is the declared Arrow extractor
+    "tokseq_tiers": {"MapInPandas", "ArrowEvalPython"},
     # sketch pipelines (direct mode): collect_list shuffle + Arrow
     # build/merge/stats passes — no grouped-map, no per-group pandas
     "tdigest_1h": {"ArrowEvalPython"},
@@ -71,3 +72,27 @@ def test_all_driver_queries_hold_plan_invariants(spark):
             violations.append(f"{name}: undeclared Python stages {sorted(extra)}")
     assert seen >= 50, f"query registry shrank to {seen}"
     assert not violations, "\n".join(violations)
+
+
+def test_curation_plan_holds_invariants(spark):
+    """curate() — the composed LLM-data pipeline — joins the sweep: no
+    cartesian product, no undeclared NLJ, no row-at-a-time Python, and
+    no Python stages at all (every curation stage is JVM-side: text
+    scoring is Catalyst expressions, dedup is hash/banded joins,
+    sampling is md5 buckets)."""
+    from logtrics_spark.plans.curation import curate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept, _ = curate(
+        docs,
+        min_quality=0.0,
+        near_dup=True,
+        jaccard_threshold=0.6,
+        sample_rate=0.9,
+        collect_stats=False,
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert not {m for m in PY_MARKERS if m in plan}, plan

@@ -621,3 +621,48 @@ def test_series_filters_inclusive_boundary(spark):
     # Graphite's boundary is inclusive: avg == threshold keeps the series
     assert {r["source"] for r in average_above(df, "val", 10.0).collect()} == {"edge"}
     assert {r["source"] for r in current_above(df, "val", 10.0).collect()} == {"edge"}
+
+
+def test_n_percentile_rank_selection_matches_graphite_definition(spark):
+    """interpolate=False = Graphite _getPercentile's default: NIST rank
+    selection sorted[clamp(ceil(p*(N+1)), 1, N)], checked against a
+    from-the-definition scalar reference on several (N, p) shapes."""
+    import math
+
+    from logtrics_spark.operators.series import n_percentile
+
+    def graphite_pct(points, p):
+        s = sorted(points)
+        rank = int(math.floor(p * (len(s) + 1)))
+        frac = p * (len(s) + 1) - rank
+        rank += int(math.ceil(frac))
+        if rank == 0:
+            return s[0]
+        if rank - 1 == len(s):
+            return s[-1]
+        return s[rank - 1]
+
+    for vals, p in [
+        ([1, 2, 3, 4, 100], 0.5),
+        ([1, 2, 3, 4, 100], 0.95),
+        ([7], 0.5),
+        ([5, 1], 0.25),
+        (list(range(1, 21)), 0.9),
+    ]:
+        df = _tier(spark, list(enumerate(vals)))
+        got = _vals(
+            n_percentile(df, "val", p, out_col="pr", interpolate=False), "pr"
+        )
+        assert got == [float(graphite_pct(vals, p))] * len(vals), (vals, p)
+
+    # short-series divergence from the interpolated default is real
+    df = _tier(spark, list(enumerate([1, 2, 3, 4, 100])))
+    interp = _vals(n_percentile(df, "val", 0.95, out_col="pi"), "pi")[0]
+    rank = _vals(n_percentile(df, "val", 0.95, out_col="pr", interpolate=False), "pr")[0]
+    assert rank == 100.0 and interp != rank
+
+    # NaN excluded identically in both variants: survivors [1, 3],
+    # rank = ceil(0.5 * 3) = 2 -> sorted[1] = 3
+    df = _tier(spark, [(0, 1.0), (1, float("nan")), (2, 3.0)])
+    got = _vals(n_percentile(df, "val", 0.5, out_col="pr", interpolate=False), "pr")
+    assert got == [float(graphite_pct([1.0, 3.0], 0.5))] * 3 == [3.0] * 3

@@ -1,6 +1,6 @@
 """Dump the physical plan of any driver query — the plan-audit loop.
 
-    python tools/explain_queries.py rollup_1m [sf_dir]
+    python tools/explain_queries.py tiers_chain [sf_dir]
     python tools/explain_queries.py --all            # every query, summary
 
 Prints `.explain("formatted")` so the scan section (PushedFilters /
