@@ -105,14 +105,17 @@ def q_transform_chain_1h(spark, sf_dir):
 
 
 def q_series_select_1h(spark, sf_dir):
-    """Name-based series selection (series.py grep/exclude/groupByNode —
-    Graphite's dashboard staples): drop the ``error`` series by regex,
-    keep the engagement series by regex, then collapse all surviving
-    sources into one series keyed by name node 1 (``ev``), summing per
-    window.  The regex filters are plain Catalyst predicates on the key
-    columns (pushed to the scan); the collapse is one partial-agg
-    groupBy on a derived column."""
+    """Name-based series selection + the cross-series aggregate family
+    (series.py grep/exclude/groupByNode/aggregate_series — Graphite's
+    dashboard staples) in one chained entry: drop the ``error`` series
+    by regex, keep the engagement series by regex, collapse the
+    survivors into one series keyed by name node 1 (``ev``) summing per
+    window, and ride the countSeries / averageSeries / rangeOfSeries /
+    stddevSeries combiners along as columns over the same survivors.
+    The regex filters are plain Catalyst predicates on the key columns
+    (pushed to the scan); every collapse is one partial-agg groupBy."""
     from logtrics_spark.operators.series import (
+        aggregate_series,
         exclude_series,
         grep_series,
         group_by_node,
@@ -121,10 +124,27 @@ def q_series_select_1h(spark, sf_dir):
     r = _rollup_events_raw(spark, sf_dir, "1h")
     kept = grep_series(exclude_series(r, r"^error\."), "(click|view|purchase|signup)")
     g = group_by_node(kept, 1, "sum", how="sum", out_col="total")
-    return g.select(
+    fam = None
+    for how, out in (
+        ("count", "n_series"),
+        ("avg", "avg_series"),
+        ("range", "rng_series"),
+        ("stddev", "sd_series"),
+    ):
+        a = aggregate_series(kept, "sum", how=how, out_col=out)
+        fam = a if fam is None else fam.join(a, ["metric", "kind", "window_start"])
+    out = g.join(
+        fam.select("window_start", "n_series", "avg_series", "rng_series", "sd_series"),
+        "window_start",
+    )
+    return out.select(
         "series",
         F.unix_timestamp("window_start").cast("long").alias("ws"),
         _q("total", 4).alias("total"),
+        "n_series",
+        _q("avg_series", 4).alias("avg_series"),
+        _q("rng_series", 4).alias("rng_series"),
+        _q("sd_series", 4).alias("sd_series"),
     )
 
 
@@ -182,17 +202,25 @@ def q_linreg_1h(spark, sf_dir):
 
 
 def q_moving_stddev_1h(spark, sf_dir):
-    """Graphite movingStdDev: trailing 1h sample stddev over the 1m
-    tier — same RANGE-frame family as moving_avg_1h."""
+    """Graphite movingStdDev + movingMedian + changed over the 1m tier
+    in one chained entry: trailing 1h sample stddev and exact median
+    (same RANGE-frame family as moving_avg_1h; the median runs as a
+    frame-capable ``percentile(0.5)`` window aggregate — DuckDB's
+    quantile_cont twin), plus the ``changed`` edge detector (1.0 when
+    the slot's avg differs from the previous slot's)."""
     from logtrics_spark.operators.rollup import rollup
-    from logtrics_spark.operators.series import moving_stddev
+    from logtrics_spark.operators.series import changed, moving_median, moving_stddev
 
     r = rollup(_events_points(spark, sf_dir), "1m")
     m = moving_stddev(r, "avg", window_seconds=3600, out_col="mstd")
+    m = moving_median(m, "avg", window_seconds=3600, out_col="mmed")
+    m = changed(m, "avg", out_col="chg")
     return m.select(
         "source",
         F.unix_timestamp("window_start").cast("long").alias("ws"),
         _q("mstd", 4).alias("mstd"),
+        _q("mmed", 4).alias("mmed"),
+        F.col("chg").alias("chg"),
     )
 
 
@@ -288,19 +316,26 @@ def q_topk_sources_1h(spark, sf_dir):
 
 
 def q_summarize_90m(spark, sf_dir):
-    """Graphite summarize(series, interval): re-bucket the 1m tier into
-    arbitrary 90-minute buckets (off the tier ladder) by composing the
-    tier aggregates — one partial-agg groupBy over tier-sized rows."""
+    """Graphite summarize(series, interval) + hitcount in one chained
+    entry: re-bucket the 1m tier into arbitrary 90-minute buckets (off
+    the tier ladder) by composing the tier aggregates, and convert the
+    per-slot RATE back to total hits per bucket (sum of rate x
+    slot-width) — hitcount of a rate series must reproduce the bucket's
+    raw event count, which is exactly what the oracle pins."""
     from logtrics_spark.operators.rollup import rollup
-    from logtrics_spark.operators.series import summarize
+    from logtrics_spark.operators.series import hitcount, summarize
 
-    s = summarize(rollup(_events_points(spark, sf_dir), "1m"), 5400)
-    return s.select(
+    r = rollup(_events_points(spark, sf_dir), "1m")
+    s = summarize(r, 5400)
+    h = hitcount(r, "rate", "1m", 5400, out_col="hits")
+    out = s.join(h, ["source", "metric", "kind", "window_start"])
+    return out.select(
         "source",
         F.unix_timestamp("window_start").cast("long").alias("ws"),
         "cnt",
         _q("sum", 4).alias("sum_val"),
         _q("avg", 4).alias("avg_val"),
+        _q("hits", 4).alias("hits"),
     )
 
 
@@ -1666,12 +1701,15 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN w ON r.source = w.source
             WHERE w.rk <= 3
         """,
+        # hitcount over the 1m rate recovers the bucket's raw event
+        # count: hits = sum(cnt_slot/60 * 60) == count(*) per bucket
         "summarize_90m": """
             SELECT event_type AS source,
                    CAST(floor(extract(epoch FROM ts)/5400)*5400 AS BIGINT) AS ws,
                    count(*) AS cnt,
                    floor((sum(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS sum_val,
-                   floor((avg(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_val
+                   floor((avg(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_val,
+                   floor((CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS hits
             FROM events GROUP BY 1, 2
         """,
         "seasonal_diff_1h": """
@@ -2069,7 +2107,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT * FROM h
           WHERE NOT regexp_matches(source || '.ev.value', '^error\\.')
             AND regexp_matches(source || '.ev.value', '(click|view|purchase|signup)'))
-        SELECT 'ev' AS series, ws, {_qsql('sum(s)', 4)} AS total
+        SELECT 'ev' AS series, ws,
+               {_qsql('sum(s)', 4)} AS total,
+               count(s) AS n_series,
+               {_qsql('avg(s)', 4)} AS avg_series,
+               {_qsql('max(s) - min(s)', 4)} AS rng_series,
+               {_qsql('stddev_samp(s)', 4)} AS sd_series
         FROM f GROUP BY ws
     """
     # chain mirror: null-below-10, per-series p95 over the survivors
@@ -2115,7 +2158,12 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY 1, 2)
         SELECT source, ws,
                {_qsql('''stddev_samp(a) OVER (PARTITION BY source ORDER BY ws
-                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)''', 4)} AS mstd
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)''', 4)} AS mstd,
+               {_qsql('''quantile_cont(a, 0.5) OVER (PARTITION BY source ORDER BY ws
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)''', 4)} AS mmed,
+               CASE WHEN lag(a) OVER (PARTITION BY source ORDER BY ws) IS NOT NULL
+                         AND a <> lag(a) OVER (PARTITION BY source ORDER BY ws)
+                    THEN 1.0 ELSE 0.0 END AS chg
         FROM r
     """
     sqls["linreg_1h"] = f"""

@@ -53,6 +53,10 @@ _MOVING_AGGS = {
     "min": F.min,
     "max": F.max,
     "stddev": F.stddev_samp,
+    # exact median over the frame; F.median rejects window frames
+    # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) but percentile(0.5)
+    # is the same interpolated definition and frame-capable
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
 }
 
 
@@ -138,6 +142,85 @@ def moving_stddev(
     (the volatility band the z-score divides by, exposed standalone;
     null for windows with < 2 samples, like every stddev_samp here)."""
     return _moving("stddev", tier_df, value_col, window_seconds, key, out_col, "mstd")
+
+
+def moving_median(
+    tier_df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``movingMedian`` — trailing time-RANGE exact median
+    (``F.median`` runs as a window aggregate; frames are tier-sized —
+    window_seconds / tier_seconds slots — never raw-data-sized).  The
+    robust smoother: one outlier slot cannot move it, unlike
+    movingAverage."""
+    return _moving("median", tier_df, value_col, window_seconds, key, out_col, "mmed")
+
+
+def changed(
+    tier_df: DataFrame,
+    value_col: str,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``changed(seriesList)``: 1.0 when the slot's value
+    differs from the previous slot's, else 0.0 (first slot and
+    null-neighbored slots are 0, matching Graphite's safe compare).
+    One lag over the series window — the edge detector for enum-ish
+    gauges (config versions, leader ids, feature flags)."""
+    key = key or KEY
+    out = out_col or f"changed_{value_col}"
+    w = _series_window(key)
+    prev = F.lag(value_col).over(w)
+    v = F.col(value_col)
+    return (
+        _with_epoch(tier_df)
+        .withColumn(
+            out,
+            F.when(
+                v.isNotNull() & prev.isNotNull() & (v != prev), F.lit(1.0)
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop(_WS)
+    )
+
+
+def hitcount(
+    tier_df: DataFrame,
+    value_col: str,
+    tier: str,
+    interval_seconds: int,
+    key: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``hitcount(seriesList, intervalString)``: convert a
+    RATE series (events/sec per slot) back to total HITS per coarser
+    interval — sum of rate x slot-width over the slots in each bucket.
+    One partial-agg groupBy on the re-bucketed window (the summarize
+    shape; ``interval_seconds`` is any epoch-aligned bucket width, not
+    restricted to the tier ladder); slot width is the tier's seconds,
+    exactly Graphite's per-point step."""
+    from logtrics_spark.operators.rollup import tier_seconds
+
+    key = key or KEY
+    step = float(tier_seconds(tier))
+    if interval_seconds <= 0 or interval_seconds % tier_seconds(tier):
+        raise ValueError(
+            f"interval_seconds {interval_seconds} must be a positive multiple "
+            f"of tier {tier!r} ({tier_seconds(tier)}s)"
+        )
+    out = out_col or f"hits_{value_col}"
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("window_start") / interval_seconds).cast("long")
+        * interval_seconds
+    )
+    return (
+        tier_df.withColumn("_bucket", bucket)
+        .groupBy(*key, F.col("_bucket").alias("window_start"))
+        .agg((F.sum(F.col(value_col) * F.lit(step))).alias(out))
+    )
 
 
 def derivative(
@@ -413,6 +496,10 @@ _SERIES_COMBINE = {
     "min": F.min,
     "max": F.max,
     "count": F.count,
+    # rangeOfSeries / stddevSeries (Graphite's cross-series spread
+    # combiners) — same one-pass partial-agg groupBy as the rest
+    "range": lambda c: F.max(c) - F.min(c),
+    "stddev": F.stddev_samp,
 }
 
 
@@ -424,9 +511,10 @@ def aggregate_series(
     key: list[str] | None = None,
     out_col: str | None = None,
 ) -> DataFrame:
-    """Graphite ``sumSeries/averageSeries/minSeries/maxSeries``: combine
-    many series into one per window by collapsing key columns (default:
-    ``source`` — "this metric across all hosts").
+    """Graphite ``sumSeries/averageSeries/minSeries/maxSeries/
+    countSeries/rangeOfSeries/stddevSeries``: combine many series into
+    one per window by collapsing key columns (default: ``source`` —
+    "this metric across all hosts").
 
     One partial-agg groupBy over tier-sized rows; the output keeps the
     surviving key columns plus window_start.

@@ -291,6 +291,47 @@ def append_to_ivf_index(
     return centroids
 
 
+def maintain_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    retrain_ratio: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+) -> dict:
+    """Append a delta, check drift, and RETRAIN in place when the drift
+    ratio crosses ``retrain_ratio`` — the full maintenance loop an
+    operator would cron.
+
+    Retraining rebuilds from the vectors already in the index (the
+    lists ARE the corpus — the index is self-contained), staged through
+    ``localCheckpoint`` so the rebuild never reads the path it is
+    overwriting.  At 100 TB you would instead retrain from the source
+    table and write a fresh index path, then swap a pointer — this
+    in-place variant is the single-store convenience; the drift metric
+    and threshold are the same either way.  Returns the post-append
+    drift dict plus ``{"retrained": bool}`` (and, when retrained, the
+    post-retrain drift under ``"after"`` — ~1.0 by construction since
+    the baseline was just reset).
+    """
+    spark = new_rows.sparkSession
+    append_to_ivf_index(new_rows, path, id_col, vec_col)
+    d = ivf_drift(spark, path, retrain_ratio)
+    d["retrained"] = False
+    if d["retrain"]:
+        cents = spark.read.parquet(f"{path}/centroids")
+        c = n_centroids or cents.count()
+        corpus = (
+            spark.read.parquet(f"{path}/lists")
+            .select(F.col("id").alias(id_col), F.col("v").alias(vec_col))
+            .localCheckpoint()  # materialize BEFORE the overwrite below
+        )
+        build_ivf_index(corpus, path, n_centroids=c, id_col=id_col, vec_col=vec_col)
+        d["retrained"] = True
+        d["after"] = ivf_drift(spark, path, retrain_ratio)
+    return d
+
+
 def ivf_drift(spark, path: str, retrain_ratio: float = 1.5) -> dict:
     """Centroid-drift metric for an appended-to IVF index.
 

@@ -666,3 +666,51 @@ def test_n_percentile_rank_selection_matches_graphite_definition(spark):
     df = _tier(spark, [(0, 1.0), (1, float("nan")), (2, 3.0)])
     got = _vals(n_percentile(df, "val", 0.5, out_col="pr", interpolate=False), "pr")
     assert got == [float(graphite_pct([1.0, 3.0], 0.5))] * 3 == [3.0] * 3
+
+
+def test_moving_median_robust_to_outlier(spark):
+    from logtrics_spark.operators.series import moving_average, moving_median
+
+    df = _tier(spark, [(i, v) for i, v in enumerate([5, 5, 1000, 5, 5])])
+    med = _vals(moving_median(df, "val", window_seconds=180, out_col="m"), "m")
+    # trailing 3-slot frames: the spike cannot move the median once two
+    # honest slots flank it
+    assert med == [5.0, 5.0, 5.0, 5.0, 5.0]
+    avg = _vals(moving_average(df, "val", window_seconds=180, out_col="a"), "a")
+    assert max(avg) > 300  # the mean IS moved — that's why movingMedian exists
+
+
+def test_changed_flags_edges_only(spark):
+    from logtrics_spark.operators.series import changed
+
+    df = _tier(spark, [(i, v) for i, v in enumerate([1, 1, 2, 2, 1])])
+    got = _vals(changed(df, "val", out_col="c"), "c")
+    # first slot 0 (no predecessor), then edges at 1->2 and 2->1
+    assert got == [0.0, 0.0, 1.0, 0.0, 1.0]
+
+
+def test_hitcount_rate_to_hits(spark):
+    from logtrics_spark.operators.series import hitcount
+
+    # 1m rate slots: 2/s for 3 minutes then 0.5/s for 2 -> 5m bucket
+    df = _tier(spark, [(0, 2.0), (1, 2.0), (2, 2.0), (3, 0.5), (4, 0.5)])
+    got = hitcount(df, "val", "1m", 300).collect()
+    assert len(got) == 1
+    assert got[0]["hits_val"] == 2.0 * 60 * 3 + 0.5 * 60 * 2  # 420 hits
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hitcount(df, "val", "1h", 5400)  # 90m % 1h != 0
+
+
+def test_aggregate_series_spread_combiners(spark):
+    from logtrics_spark.operators.series import aggregate_series
+
+    rows = [("a", 0, 1.0), ("b", 0, 5.0), ("c", 0, 9.0)]
+    df = _tier(spark, rows)
+    rng = aggregate_series(df, "val", how="range", out_col="r").collect()
+    assert rng[0]["r"] == 8.0
+    sd = aggregate_series(df, "val", how="stddev", out_col="s").collect()
+    assert sd[0]["s"] == pytest.approx(4.0)  # stddev_samp of 1,5,9
+    n = aggregate_series(df, "val", how="count", out_col="n").collect()
+    assert n[0]["n"] == 3

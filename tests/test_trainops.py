@@ -715,3 +715,36 @@ def test_ivf_drift_flags_shifted_distribution(spark, embs, tmp_path):
     append_to_ivf_index(shifted, path)
     d2 = ivf_drift(spark, path)
     assert d2["ratio"] > 1.5 and d2["retrain"]
+
+
+def test_maintain_ivf_index_auto_retrains(spark, embs, tmp_path):
+    """The full maintenance loop: in-distribution appends keep the
+    index as-is; a drifted delta trips the threshold, the index
+    retrains IN PLACE from its own lists, and the post-retrain drift
+    baseline resets to ~1."""
+    from logtrics_spark.operators.similarity import (
+        build_ivf_index,
+        maintain_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_m")
+    build_ivf_index(embs.where("vec_id < 400"), path, n_centroids=8)
+
+    same = embs.where("vec_id >= 400").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    d1 = maintain_ivf_index(same, path)
+    assert not d1["retrained"] and d1["ratio"] < 1.2
+
+    shifted = embs.select(
+        (F.col("vec_id") + 20_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(25.0)).alias("embedding"),
+    )
+    d2 = maintain_ivf_index(shifted, path)
+    assert d2["retrain"] and d2["retrained"]
+    assert abs(d2["after"]["ratio"] - 1.0) < 1e-9
+    # the retrained index still holds every vector exactly once
+    # (400 base + 100 in-distribution delta + 500 shifted delta)
+    lists = spark.read.parquet(path + "/lists")
+    assert lists.count() == 400 + 100 + 500
+    assert lists.select("id").distinct().count() == 1000
