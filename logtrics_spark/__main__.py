@@ -125,6 +125,58 @@ def _cmd_alerts(args) -> int:
     return 0
 
 
+def _cmd_read(args) -> int:
+    """Time-range read over a stored tier — the dashboard fetch path.
+
+    Live tier tables get plain pushed ``window_start`` predicates;
+    ``--from-chunks`` serves Gorilla-archived tiers with CHUNK-level
+    zone-map pruning (only chunks whose stored min_ts/max_ts overlap
+    [--from, --to] are decompressed — operators/gorilla.py::
+    decompress_chunks_range).  Daemon (snapshot-flush) stores resolve
+    latest-wins first, so superseded flush versions never print."""
+    from pyspark.sql import functions as F
+
+    from logtrics_spark.plans.daemon import resolve_latest
+    from logtrics_spark.plans.pipeline import RollupJob
+
+    spark, own = _get_session("logtrics-read")
+    job = RollupJob(spark, args.store)
+    if args.from_chunks:
+        df = job.read_tier_from_chunks(
+            args.tier, ts_from=getattr(args, "from"), ts_to=args.to
+        )
+    else:
+        df = job.read_tier(args.tier)
+        lo, hi = getattr(args, "from"), args.to
+        if lo:
+            df = df.where(F.col("window_start") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            df = df.where(F.col("window_start") <= F.lit(hi).cast("timestamp"))
+    df = resolve_latest(df)
+    if args.source:
+        df = df.where(F.col("source") == args.source)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {df.count()} rows to {args.out}")
+    else:
+        cols = [c for c in ("source", "metric", "kind") if c in df.columns]
+        rows = df.orderBy(*cols, "window_start").limit(args.limit).collect()
+        val_cols = [
+            c for c in df.columns
+            if c not in (*cols, "window_start", "last_ts")
+        ]
+        for r in rows:
+            vals = " ".join(
+                f"{c}={r[c]:.4f}" if isinstance(r[c], float) else f"{c}={r[c]}"
+                for c in val_cols
+                if r[c] is not None
+            )
+            print(f"{'.'.join(str(r[c]) for c in cols)} {r['window_start']} {vals}")
+    if own:
+        spark.stop()
+    return 0
+
+
 def _load_conf_opt(args) -> dict:
     """Optional --config TOML for housekeeping commands: carries the
     deployment's [sketches] parameters (mg_k, compression...); without
@@ -294,6 +346,19 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--from-chunks", action="store_true",
                    help="serve the tier from Gorilla chunks (post-retention)")
     a.set_defaults(fn=_cmd_alerts)
+
+    rd = sub.add_parser("read", help="time-range read of a stored tier (chunk-pruned)")
+    rd.add_argument("--store", required=True)
+    rd.add_argument("--tier", default="1h")
+    rd.add_argument("--from", dest="from", default=None,
+                    help="inclusive lower bound, e.g. '2024-01-01 00:00:00'")
+    rd.add_argument("--to", default=None, help="inclusive upper bound")
+    rd.add_argument("--source", default=None, help="exact source filter")
+    rd.add_argument("--from-chunks", action="store_true",
+                    help="serve from Gorilla chunks with zone-map pruning")
+    rd.add_argument("--limit", type=int, default=50)
+    rd.add_argument("--out", default=None, help="write parquet here instead of printing")
+    rd.set_defaults(fn=_cmd_read)
 
     k = sub.add_parser("compact", help="latest-wins compaction of a daemon live store")
     k.add_argument("--store", required=True, help="live tier store root")

@@ -75,3 +75,32 @@ def test_explain_queries_tool(spark, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Exchange" in out
     assert explain_queries.main(["no_such_query"]) == 2
+
+
+def test_cli_read_range(spark, tmp_path, capsys):
+    """`read`: range fetch from live tiers AND from Gorilla chunks
+    (zone-map pruned); bounds are inclusive and rows agree between the
+    two serving paths on the composable columns."""
+    raw = str(tmp_path / "tok.parquet")
+    gen_tokseq(spark, 800, partitions=2).write.parquet(raw)
+    store = str(tmp_path / "store")
+    assert main(["rollup", "--input", raw, "--store", store, "--tiers", "1m,1h"]) == 0
+    capsys.readouterr()
+
+    args = ["read", "--store", store, "--tier", "1m",
+            "--from", "2024-01-01 00:02:00", "--to", "2024-01-01 00:05:00",
+            "--limit", "500"]
+    assert main(args) == 0
+    live = capsys.readouterr().out.strip().splitlines()
+    assert live and all("2024-01-01 00:0" in ln for ln in live)
+
+    assert main(args + ["--from-chunks"]) == 0
+    chunks = capsys.readouterr().out.strip().splitlines()
+    # same series-window keys served from either path
+    key = lambda ln: ln.split(" cnt=")[0]
+    assert {key(ln) for ln in chunks} == {key(ln) for ln in live}
+
+    out_dir = str(tmp_path / "out.parquet")
+    assert main(args + ["--out", out_dir]) == 0
+    assert "wrote" in capsys.readouterr().out
+    assert spark.read.parquet(out_dir).count() == len(live)
