@@ -124,15 +124,18 @@ def q_series_select_1h(spark, sf_dir):
     r = _rollup_events_raw(spark, sf_dir, "1h")
     kept = grep_series(exclude_series(r, r"^error\."), "(click|view|purchase|signup)")
     g = group_by_node(kept, 1, "sum", how="sum", out_col="total")
-    fam = None
-    for how, out in (
-        ("count", "n_series"),
-        ("avg", "avg_series"),
-        ("range", "rng_series"),
-        ("stddev", "sd_series"),
-    ):
-        a = aggregate_series(kept, "sum", how=how, out_col=out)
-        fam = a if fam is None else fam.join(a, ["metric", "kind", "window_start"])
+    # the whole combiner family in ONE groupBy (one shuffle), joined
+    # back on window_start (metric/kind are constant in this frame)
+    fam = aggregate_series(
+        kept,
+        "sum",
+        how={
+            "n_series": "count",
+            "avg_series": "avg",
+            "rng_series": "range",
+            "sd_series": "stddev",
+        },
+    )
     out = g.join(
         fam.select("window_start", "n_series", "avg_series", "rng_series", "sd_series"),
         "window_start",
@@ -773,8 +776,10 @@ def q_dedup_groups(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the bucket cap is sound here (unlike minhash_pairs): verified
+    # pairs feed the closure, which reconnects star-collapsed buckets
     cand = minhash_lsh_dupes(
-        docs, num_hashes=64, bands=32, include_est=False
+        docs, num_hashes=64, bands=32, include_est=False, max_bucket_size=4096
     ).localCheckpoint()
     ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5).where(
         F.col("jaccard") >= 0.6

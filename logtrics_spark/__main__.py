@@ -134,30 +134,48 @@ def _cmd_read(args) -> int:
     [--from, --to] are decompressed — operators/gorilla.py::
     decompress_chunks_range).  Daemon (snapshot-flush) stores resolve
     latest-wins first, so superseded flush versions never print."""
+    import datetime as _dt
+
     from pyspark.sql import functions as F
 
     from logtrics_spark.plans.daemon import resolve_latest
     from logtrics_spark.plans.pipeline import RollupJob
 
+    # validate bounds DRIVER-side: lit(str).cast("timestamp") turns a
+    # typo'd timestamp into NULL, which silently filters every row —
+    # "no data in range" and "bad timestamp" must not look the same
+    def _parse(name, v):
+        if v is None:
+            return None
+        try:
+            return _dt.datetime.fromisoformat(v)
+        except ValueError:
+            raise SystemExit(
+                f"error: --{name} {v!r} is not a valid timestamp "
+                "(expected e.g. '2024-01-01 00:00:00')"
+            )
+
+    lo = _parse("from", getattr(args, "from"))
+    hi = _parse("to", args.to)
     spark, own = _get_session("logtrics-read")
     job = RollupJob(spark, args.store)
     if args.from_chunks:
-        df = job.read_tier_from_chunks(
-            args.tier, ts_from=getattr(args, "from"), ts_to=args.to
-        )
+        df = job.read_tier_from_chunks(args.tier, ts_from=lo, ts_to=hi)
     else:
         df = job.read_tier(args.tier)
-        lo, hi = getattr(args, "from"), args.to
         if lo:
-            df = df.where(F.col("window_start") >= F.lit(lo).cast("timestamp"))
+            df = df.where(F.col("window_start") >= F.lit(lo))
         if hi:
-            df = df.where(F.col("window_start") <= F.lit(hi).cast("timestamp"))
+            df = df.where(F.col("window_start") <= F.lit(hi))
     df = resolve_latest(df)
     if args.source:
         df = df.where(F.col("source") == args.source)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
-        print(f"wrote {df.count()} rows to {args.out}")
+        # count the WRITTEN files — re-counting df would re-run the
+        # whole scan/decompression plan a second time
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote {n} rows to {args.out}")
     else:
         cols = [c for c in ("source", "metric", "kind") if c in df.columns]
         rows = df.orderBy(*cols, "window_start").limit(args.limit).collect()

@@ -44,13 +44,17 @@ def _split_oversized_buckets(banded: DataFrame, max_bucket_size: int, label: str
     collect is small by construction).
 
     Returns ``(small, big)`` where ``big`` is None when nothing exceeds
-    the cap.  Callers should persist ``banded`` first — the size
-    aggregation materializes it once and the join passes reuse it.
+    the cap.  Callers persist ``banded`` first (the size aggregation
+    materializes it and the join passes reuse it); when nothing exceeds
+    the cap it is unpersisted HERE before returning — the single
+    self-join recomputes it lazily (the pre-guard cost) and no cached
+    frame leaks from repeated guard-armed calls that never trip.
     """
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     big_keys = sizes.where(F.col("n") > max_bucket_size)
     rows = big_keys.collect()
     if not rows:
+        banded.unpersist()
         return banded, None
     logger.warning(
         "%s: %d (band,bucket) groups exceed max_bucket_size=%d "
@@ -234,7 +238,7 @@ def minhash_lsh_dupes(
     threshold: float | None = None,
     include_est: bool = True,
     sigs: DataFrame | None = None,
-    max_bucket_size: int | None = 4096,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH on minhash signatures.
 
@@ -248,19 +252,22 @@ def minhash_lsh_dupes(
 
     Scale shape: explode to (band_hash, id) -> self-join within band
     buckets.  The join key is (band, band_hash) so only same-bucket
-    pairs materialize.  A pathological bucket (a mass-identical cluster
-    bigger than ``max_bucket_size``) is guarded: its members pair with
-    the bucket's min-id REPRESENTATIVE only (O(bucket) rows instead of
-    O(bucket^2)), with the collapse logged per bucket — duplicate
-    components survive the downstream verify + connected-components
-    closure because every member remains linked through the
-    representative; what CAN be lost are pairs between two members
-    that each fail verification against the representative yet would
-    pass against each other (impossible for identical texts, the case
-    that actually produces oversized buckets).  Pass
-    ``max_bucket_size=None`` to disable the guard.  When the guard is
-    armed the banded frame is persisted (3 longs per doc per band) so
-    the size scan and the join passes share one computation.
+    pairs materialize.  ``max_bucket_size`` (OPT-IN, default None)
+    guards pathological buckets: members of a bucket over the cap pair
+    with the bucket's min-id REPRESENTATIVE only (O(bucket) rows
+    instead of O(bucket^2)), with the collapse logged per bucket.
+    The guard changes the PAIR-LEVEL contract — two members that each
+    fail verification against the representative but would pass
+    against each other lose their pair — so it is sound ONLY for
+    callers that run a connected-components closure over verified
+    pairs (``dedup_groups``, ``plans/curation.py::curate``, both of
+    which pass the cap); pair-level consumers that need every true
+    near-dup pair (the driver's minhash_pairs recall oracle) must
+    leave it None.  When the guard is armed the banded frame is
+    persisted for the size scan + join passes and unpersisted
+    immediately when nothing exceeds the cap (the common case); when a
+    collapse actually triggers, the cache stays LRU-evictable for the
+    two join branches.
 
     Caching contract: when est_jaccard is computed (or the bucket guard
     is armed) internal frames are persisted and left LRU-evictable.
@@ -409,7 +416,7 @@ def simhash_dupes(
     id_col: str = "doc_id",
     band_bits: int = 16,
     max_hamming: int | None = None,
-    max_bucket_size: int | None = 4096,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via the band-split trick on 64-bit
     simhashes: with B = 64/band_bits bands, any pair at Hamming distance
@@ -434,7 +441,7 @@ def simhash_band_pairs(
     sims: DataFrame,
     band_bits: int = 16,
     max_hamming: int | None = None,
-    max_bucket_size: int | None = 4096,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id, simhash) -> candidate pairs agreeing on >=1 band.
 
@@ -452,15 +459,16 @@ def simhash_band_pairs(
     Split out from ``simhash_dupes`` so the pigeonhole guarantee is
     directly testable on crafted simhash values (tests/test_trainops.py).
 
-    ``max_bucket_size`` guards pathological buckets (a mass-identical
-    cluster): members pair with the bucket's min-id representative
-    only — O(bucket) rows, hamming computed and cut against the
-    representative — with the collapse logged (see
+    ``max_bucket_size`` (OPT-IN, default None) guards pathological
+    buckets (a mass-identical cluster): members pair with the bucket's
+    min-id representative only — O(bucket) rows, hamming computed and
+    cut against the representative — with the collapse logged (see
     ``_split_oversized_buckets``).  Inside a collapsed bucket the
     pigeonhole recall guarantee narrows to pairs THROUGH the
-    representative; for the identical-document clusters that actually
-    produce oversized buckets every hamming is 0 and the closure is
-    unaffected.  ``None`` disables the guard.
+    representative, so arm it only when a connected-components closure
+    follows (see minhash_lsh_dupes' contract note); for the
+    identical-document clusters that actually produce oversized
+    buckets every hamming is 0 and the closure is unaffected.
     """
     if 64 % band_bits:
         raise ValueError("band_bits must divide 64")

@@ -43,7 +43,13 @@ def lttb_fold(xs, ys, n_out: int):
     n) so an independent plain-Python port of the same published
     definition selects the identical indices — that is what makes the
     driver's side-channel oracle for ``lttb_1m`` a real cross-check
-    rather than a shared-code tautology.
+    rather than a shared-code tautology.  The next-bucket averages are
+    accumulated SEQUENTIALLY (builtin ``sum`` over the slice — IEEE
+    left-to-right adds, the order the scalar pseudocode implies): the
+    earlier ``.mean()`` used numpy's pairwise summation, whose
+    different rounding flips the argmax on flat and step-valued series
+    (ties everywhere), which a differential test against the
+    plain-Python port now pins.
     """
     n = len(xs)
     if n_out >= n:
@@ -64,8 +70,10 @@ def lttb_fold(xs, ys, n_out: int):
     for b in range(n_out - 2):
         lo, hi = edges[b], edges[b + 1]
         nxt_lo, nxt_hi = edges[b + 1], min(edges[b + 2], n)
-        cx = xs[nxt_lo:nxt_hi].mean()
-        cy = ys[nxt_lo:nxt_hi].mean()
+        span = int(nxt_hi - nxt_lo)
+        # sequential (left-to-right) accumulation — see docstring
+        cx = sum(xs[nxt_lo:nxt_hi]) / span
+        cy = sum(ys[nxt_lo:nxt_hi]) / span
         # triangle area with apex at each candidate in [lo, hi)
         ax, ay = xs[prev], ys[prev]
         areas = np.abs(

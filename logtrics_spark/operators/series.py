@@ -151,11 +151,15 @@ def moving_median(
     key: list[str] | None = None,
     out_col: str | None = None,
 ) -> DataFrame:
-    """Graphite ``movingMedian`` — trailing time-RANGE exact median
-    (``F.median`` runs as a window aggregate; frames are tier-sized —
-    window_seconds / tier_seconds slots — never raw-data-sized).  The
-    robust smoother: one outlier slot cannot move it, unlike
-    movingAverage."""
+    """Graphite ``movingMedian`` — trailing time-RANGE exact median.
+
+    Implemented as ``percentile(col, 0.5)`` over the frame: Spark's
+    ``F.median`` REJECTS window frames
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) while ``percentile`` is
+    frame-capable and the same interpolated definition.  Frames are
+    tier-sized — window_seconds / tier_seconds slots — never
+    raw-data-sized.  The robust smoother: one outlier slot cannot move
+    it, unlike movingAverage."""
     return _moving("median", tier_df, value_col, window_seconds, key, out_col, "mmed")
 
 
@@ -506,7 +510,7 @@ _SERIES_COMBINE = {
 def aggregate_series(
     tier_df: DataFrame,
     value_col: str,
-    how: str = "sum",
+    how: str | dict[str, str] = "sum",
     collapse: list[str] | None = None,
     key: list[str] | None = None,
     out_col: str | None = None,
@@ -516,20 +520,25 @@ def aggregate_series(
     one per window by collapsing key columns (default: ``source`` —
     "this metric across all hosts").
 
-    One partial-agg groupBy over tier-sized rows; the output keeps the
-    surviving key columns plus window_start.
+    ``how`` is either one combiner name or a ``{out_col: how}`` dict —
+    the dict form computes the whole family in ONE partial-agg groupBy
+    (one shuffle) instead of one groupBy + join per combiner.  The
+    output keeps the surviving key columns plus window_start.
     """
-    if how not in _SERIES_COMBINE:
-        raise ValueError(f"how must be one of {sorted(_SERIES_COMBINE)}, got {how!r}")
+    hows = {out_col or f"{how}_{value_col}": how} if isinstance(how, str) else how
+    bad_how = [h for h in hows.values() if h not in _SERIES_COMBINE]
+    if bad_how:
+        raise ValueError(
+            f"how must be one of {sorted(_SERIES_COMBINE)}, got {bad_how}"
+        )
     key = key or KEY
     collapse = collapse if collapse is not None else ["source"]
     bad = [c for c in collapse if c not in key]
     if bad:
         raise ValueError(f"collapse columns {bad} not in key {key}")
     keep = [c for c in key if c not in collapse]
-    out = out_col or f"{how}_{value_col}"
     return tier_df.groupBy(*keep, "window_start").agg(
-        _SERIES_COMBINE[how](value_col).alias(out)
+        *[_SERIES_COMBINE[h](value_col).alias(out) for out, h in hows.items()]
     )
 
 

@@ -51,6 +51,7 @@ def curate(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket_size: int | None = 4096,
     sample_rate: float | None = None,
     sample_rates: dict[str, float] | None = None,
     sample_by: str = "source",
@@ -62,7 +63,10 @@ def curate(
     ``lang``.  ``stats`` maps stage -> surviving row count (empty when
     ``collect_stats=False``); stages that are disabled (no quality
     bound, no langs, near_dup=False, no sampling) pass rows through
-    untouched and are absent from stats.
+    untouched and are absent from stats.  ``max_bucket_size`` caps
+    per-(band,bucket) LSH candidate generation (star-collapse through
+    the min-id representative, logged) — sound here because the
+    closure below reconnects collapsed buckets; None disables.
     """
     stats: dict[str, int] = {}
 
@@ -96,6 +100,11 @@ def curate(
         # recomputes true similarity), verified by exact n-gram Jaccard,
         # collapsed to components; drop everything but each component's
         # minimum-id representative
+        # max_bucket_size is sound HERE because verified pairs feed a
+        # connected-components closure below: a star-collapsed
+        # oversized bucket keeps its duplicate component connected
+        # through the representative (exact dupes were also already
+        # collapsed by the stage above, so oversized buckets are rare)
         cand = minhash_lsh_dupes(
             cur,
             text_col,
@@ -104,6 +113,7 @@ def curate(
             bands=bands,
             shingle_k=shingle_k,
             include_est=False,
+            max_bucket_size=max_bucket_size,
         ).localCheckpoint()
         verified = (
             ngram_jaccard_pairs(cur, cand, text_col, id_col)

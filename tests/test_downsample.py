@@ -95,3 +95,34 @@ def test_lttb_honors_custom_key(spark):
     out = lttb(spark.createDataFrame(pdf), "v", n_out=6, key=["source"])
     assert out.columns == ["source", "window_start", "v"]
     assert out.count() == 6
+
+
+def test_fold_matches_independent_thesis_port_on_adversarial_shapes():
+    """Differential: lttb_fold (vectorized) vs the driver contract's
+    plain-Python Steinarsson port on the shapes where summation-order
+    differences show up — constant series, step series (ties
+    everywhere), and random data.  A pairwise-vs-sequential mean
+    mismatch flips argmax on exact ties; this pins bit-identity."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _lttb_steinarsson
+
+    from logtrics_spark.operators.downsample import lttb_fold
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.full(9000, 0.1),                                   # constant
+        np.repeat(rng.uniform(0, 10, 40), 100),               # step/plateau
+        rng.normal(0, 1, 5000),                               # random
+        np.where(np.arange(3000) % 7 == 0, 5.0, 0.1),          # spiky ties
+    ]
+    for i, ys in enumerate(cases):
+        xs = np.arange(len(ys), dtype="int64") * 60
+        got = lttb_fold(xs, ys.astype("float64"), 200)
+        exp = _lttb_steinarsson(
+            [float(x) for x in xs], [float(y) for y in ys], 200
+        )
+        assert got == exp, f"case {i}: {sum(a != b for a, b in zip(got, exp))} diverged"
