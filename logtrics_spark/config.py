@@ -60,9 +60,12 @@ TOML_TOP_KEYS = {
     "udp",
     "tcp",
     "logging",
-    # engine-side extension table (not in the reference's surface):
+    # engine-side extension tables (not in the reference's surface):
     # mergeable sketch tiers for the daemon store (plans/daemon.py)
     "sketches",
+    # cron-scheduled housekeeping (plans/schedule.py — the reference's
+    # TODO.md:6 "Scheduler APIs" item): job name -> cron string
+    "schedule",
 }
 VALID_MODES = {"console", "udp", "tcp", "file"}  # + our filetail (S4)
 VALID_LOG_LEVELS = {"fatal", "error", "warn", "info", "debug", "trace"}

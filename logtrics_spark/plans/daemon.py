@@ -220,6 +220,20 @@ class Daemon:
         # the way the batch path's sketch tables do (test_sketch_store)
         self.sketchset = SketchSet.from_config(self.conf.get("sketches"))
         self.sketch_kinds = self.sketchset.enabled
+        # cron-scheduled housekeeping (config [schedule] — the
+        # reference's TODO.md:6 "Scheduler APIs"): job name -> cron
+        # string, polled once per flush tick by run_scheduled().  The
+        # schedulable builtins are the idempotent store sweeps; errors
+        # at parse time surface here, before any stream starts.
+        from logtrics_spark.plans.schedule import scheduler_from_config
+
+        self.scheduler = scheduler_from_config(
+            self.conf,
+            builtins={
+                "compact": lambda: self.compact(),
+                "cascade": lambda: self.cascade_tiers(),
+            },
+        )
         import threading
 
         self._seq_lock = threading.Lock()
@@ -706,6 +720,17 @@ class Daemon:
             return 0
         return self.process_lines(self.udp.dataframe(self.spark))
 
+    def run_scheduled(self, now=None) -> dict:
+        """Fire any [schedule] jobs whose cron matched since the last
+        tick.  Called from the daemon loop after each flush interval;
+        no-op without a [schedule] section.  ``now`` is injectable for
+        tests; defaults to the wall clock (UTC)."""
+        if self.scheduler is None:
+            return {}
+        import datetime as _dt
+
+        return self.scheduler.run_due(now or _dt.datetime.now(_dt.timezone.utc))
+
     # -------------------------------------------------------- lifecycle
     def start(self, once: bool = False, console_lines: list[str] | None = None) -> "Daemon":
         """Wire every configured mode (config ``modes``, main.go:97-121)."""
@@ -814,6 +839,7 @@ def main_run(args, spark) -> int:
                 else:
                     time.sleep(d.interval)
                 d.drain_udp()
+                d.run_scheduled()
     finally:
         d.stop()
     return 0
