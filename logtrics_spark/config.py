@@ -66,6 +66,9 @@ TOML_TOP_KEYS = {
     # cron-scheduled housekeeping (plans/schedule.py — the reference's
     # TODO.md:6 "Scheduler APIs" item): job name -> cron string
     "schedule",
+    # Prometheus exposition (sinks/prometheus.py — the reference's
+    # TODO.md:4 "Prometheus APIs" item): textfile/port/host/prefix
+    "prometheus",
 }
 VALID_MODES = {"console", "udp", "tcp", "file"}  # + our filetail (S4)
 VALID_LOG_LEVELS = {"fatal", "error", "warn", "info", "debug", "trace"}

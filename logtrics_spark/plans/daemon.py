@@ -225,6 +225,20 @@ class Daemon:
         # string, polled once per flush tick by run_scheduled().  The
         # schedulable builtins are the idempotent store sweeps; errors
         # at parse time surface here, before any stream starts.
+        # [prometheus] exposition surface (sinks/prometheus.py — the
+        # reference's TODO.md:4 "Prometheus APIs"): textfile = path for
+        # the node-exporter textfile collector, port/host for a live
+        # /metrics endpoint.  The snapshot refreshes per flush tick from
+        # the store's LATEST view (a scrape must reflect every live
+        # series, not just the windows this micro-batch changed).
+        p = self.conf.get("prometheus") or {}
+        self.prom_textfile = p.get("textfile")
+        self.prom_port = int(p.get("port", 0) or 0)
+        self.prom_host = p.get("host", "127.0.0.1")
+        self.prom_prefix = p.get("prefix", "logtrics")
+        self._prom_enabled = bool(self.prom_textfile) or self.prom_port > 0
+        self._prom_payload = {"payload": ""}
+        self._prom_server = None
         from logtrics_spark.plans.schedule import scheduler_from_config
 
         self.scheduler = scheduler_from_config(
@@ -352,8 +366,35 @@ class Daemon:
             host, port = g.get("host"), g.get("port")
             if host and port:
                 send_graphite_tcp(lines, str(host), int(port))
+            if self._prom_enabled:
+                self.refresh_prometheus()
         finally:
             batch_df.unpersist()
+
+    def refresh_prometheus(self) -> str:
+        """Re-render the exposition snapshot from the store's latest
+        view and push it to the configured textfile / live endpoint.
+        Bounded by series cardinality (one sample per live series) —
+        the same per-tick bound as the reference's registry walk."""
+        from logtrics_spark.sinks.prometheus import (
+            render_exposition,
+            to_prometheus_samples,
+            write_textfile,
+        )
+
+        try:
+            latest = self.read_tier_latest(self.tier)
+        except ValueError:  # store has no rows yet: empty scrape
+            payload = ""
+        else:
+            samples = to_prometheus_samples(
+                latest, self.tier, prefix=self.prom_prefix, timestamps=False
+            )
+            payload = render_exposition(samples)
+        self._prom_payload["payload"] = payload
+        if self.prom_textfile:
+            write_textfile(payload, self.prom_textfile)
+        return payload
 
     # -------------------------------------------------- streaming modes
     def _start_stream(self, lines: DataFrame, name: str, once: bool):
@@ -737,6 +778,16 @@ class Daemon:
         modes = self.conf.get("modes") or []
         if not modes:
             raise ValueError("config has no modes")
+        if self.prom_port > 0 and self._prom_server is None:
+            from logtrics_spark.sinks.prometheus import MetricsServer
+
+            self._prom_server = MetricsServer(
+                lambda: self._prom_payload["payload"],
+                host=self.prom_host,
+                port=self.prom_port,
+            )
+            self.prom_port = self._prom_server.port  # ephemeral bind
+            logger.info("prometheus /metrics on %s:%d", self.prom_host, self.prom_port)
         for mode in modes:
             if mode == "file":
                 if not self.file_dir:
@@ -782,6 +833,9 @@ class Daemon:
             self.drain_udp()
             self.udp.stop()
             self.udp = None
+        if self._prom_server is not None:
+            self._prom_server.stop()
+            self._prom_server = None
 
 
 def run_daemon(

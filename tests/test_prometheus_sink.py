@@ -181,3 +181,53 @@ def test_batch_sink_refreshes_textfile_and_ref(spark, tier_df, tmp_path):
     assert ref["payload"] == text
     assert 'logtrics_mem_used{source="web"} 15\n' in text  # timestamp-free
     assert str(TS_MS) not in text
+
+
+def test_daemon_prometheus_wiring(spark, tmp_path):
+    """[prometheus] config: every flush refreshes the textfile and the
+    live payload from the store's FULL latest view (all live series,
+    not just the windows the batch changed); the /metrics endpoint
+    serves it."""
+    import socket
+
+    from logtrics_spark.api import Engine
+    from logtrics_spark.plans.daemon import Daemon
+    from logtrics_spark.sources.readers import lines_df
+
+    eng = Engine()
+    eng.rule(
+        "ra", r"(?P<k>alpha)", lambda caps, m: m.counter("hits.alpha").inc(1)
+    )
+    eng.rule(
+        "rg", r"(?P<k>gamma)", lambda caps, m: m.counter("hits.gamma").inc(1)
+    )
+
+    with socket.socket() as s:  # find a free port for the endpoint
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    path = tmp_path / "m.prom"
+    conf = {
+        "modes": ["console"],
+        "graphite": {"tiers": ["1m"], "interval": 1},
+        "prometheus": {"textfile": str(path), "port": port},
+    }
+    d = Daemon(spark, conf, eng, str(tmp_path / "store"))
+    d.start(once=True, console_lines=["alpha", "beta"])
+    try:
+        text1 = path.read_text()
+        assert 'logtrics_hits_alpha_total{source="console"} 1' in text1
+        # second flush touches only gamma; the refreshed snapshot must
+        # still carry the earlier series (full-registry semantics)
+        d.process_lines(lines_df(spark, ["gamma"]))
+        text2 = path.read_text()
+        assert 'logtrics_hits_gamma_total{source="console"} 1' in text2
+        assert 'logtrics_hits_alpha_total{source="console"} 1' in text2
+        import urllib.request
+
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{d.prom_port}/metrics"
+        ).read().decode()
+        assert body == text2
+    finally:
+        d.stop()
