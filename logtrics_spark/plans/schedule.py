@@ -79,7 +79,11 @@ def _parse_atom(atom: str, lo: int, hi: int, names: dict | None) -> set[int]:
             raise ValueError(f"cron value {v} out of range [{lo},{hi}]")
         return v
 
-    if atom in ("*", ""):
+    if atom == "":
+        # a bare "/n" step or a typo'd list ("0,,30", trailing comma)
+        # must not silently expand to the full range
+        raise ValueError("empty cron atom")
+    if atom == "*":
         start, end = lo, hi
     elif "-" in atom:
         a, b = atom.split("-", 1)
@@ -189,7 +193,6 @@ class _Job:
     name: str
     spec: CronSpec
     fn: Callable[[], Any]
-    last_fired: datetime | None = None
 
 
 @dataclass
@@ -237,7 +240,6 @@ class Scheduler:
             except Exception as exc:  # noqa: BLE001 — job isolation
                 logger.exception("scheduled job %s failed", name)
                 fired[name] = exc
-            job.last_fired = _to_utc(now)
         self.last_checked = _to_utc(now).replace(second=0, microsecond=0)
         return fired
 

@@ -39,7 +39,8 @@ def test_parse_range_step():
 @pytest.mark.parametrize(
     "bad",
     ["* * * *", "60 * * * *", "* 24 * * *", "* * 0 * *", "*/0 * * * *",
-     "5-1 * * * *", "x * * * *", "* * * * * *"],
+     "5-1 * * * *", "x * * * *", "* * * * * *",
+     "/5 * * * *", "0,,30 * * * *", "0, * * * *"],
 )
 def test_parse_rejects_invalid(bad):
     with pytest.raises(ValueError):
