@@ -424,6 +424,26 @@ def assign_corpus(
     )
 
 
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """recall@k of an ANN result against the exact baseline.
+
+    Both inputs are (query_id, id, ..., rank) frames as produced by
+    :func:`ivf_topk` / :func:`query_ivf_index` (approx) and
+    :func:`cosine_topk` (exact).  Computed distributed — one inner join
+    on (query_id, id) and two counts; nothing collects.  Ties at the
+    cosine boundary are counted as misses only if the ANN result chose
+    a different id (both sides break ties by ascending id, so equal
+    inputs score 1.0).
+    """
+    a = approx.where(F.col("rank") <= k).select("query_id", "id")
+    e = exact.where(F.col("rank") <= k).select("query_id", "id")
+    total = e.count()
+    if total == 0:
+        return 1.0
+    hits = a.join(e, ["query_id", "id"]).count()
+    return hits / total
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

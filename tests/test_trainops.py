@@ -228,18 +228,34 @@ def test_cosine_topk_matches_numpy(spark, embs):
 
 
 def test_ivf_topk_recall(spark, embs):
-    from logtrics_spark.operators.similarity import cosine_topk, ivf_topk
+    """Measured recall ladder via the distributed ann_recall helper:
+    more probes never lose neighbors, full probe is exact, and the
+    curve is documented in BENCH/NOTES.md.  The synthetic embeddings
+    are clusterless Gaussians — IVF's worst case — so absolute recall
+    at low nprobe is structurally modest; real embedding corpora
+    cluster and probe far better at the same nprobe/C."""
+    from logtrics_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_topk,
+        train_centroids,
+    )
 
-    queries = embs.where("vec_id < 10")
-    exact = cosine_topk(embs, queries, k=5).toPandas()
-    approx = ivf_topk(embs, queries, k=5, n_centroids=8, nprobe=4).toPandas()
-    # recall@5 with half the lists probed should be high on 500 vecs
-    hits = 0
-    for qid in range(10):
-        e = set(exact[exact.query_id == qid]["id"])
-        a = set(approx[approx.query_id == qid]["id"])
-        hits += len(e & a)
-    assert hits / 50 >= 0.6, hits
+    queries = embs.where("vec_id < 20")
+    exact = cosine_topk(embs, queries, k=10).cache()
+    cents = train_centroids(embs, 16)
+    ladder = {
+        nprobe: ann_recall(
+            ivf_topk(embs, queries, k=10, n_centroids=16,
+                     nprobe=nprobe, centroids=cents),
+            exact,
+        )
+        for nprobe in (1, 4, 8, 16)
+    }
+    assert ladder[16] == 1.0  # probing every list IS brute force
+    assert ladder[1] <= ladder[4] <= ladder[8] <= ladder[16]
+    assert ladder[8] >= 0.7  # measured 0.79 on this seeded corpus
+    assert ladder[4] >= 0.4  # measured 0.545
 
 
 def test_ivf_topk_reuses_precomputed_assignment(spark, embs):
