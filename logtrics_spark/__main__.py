@@ -286,6 +286,18 @@ def _cmd_sketch(args) -> int:
         out = mg_topk(rows, n=args.n).select(
             *key_cols, "item", "est_count", "err", "total_n", "rank"
         )
+    elif args.kind == "cms":
+        from logtrics_spark.operators.countmin import cms_query
+
+        if not args.item:
+            print("error: --kind cms needs at least one --item probe",
+                  file=sys.stderr)
+            if own:
+                spark.stop()
+            return 2
+        out = cms_query(rows, args.item).select(
+            *key_cols, "item", "est_count", "total_n"
+        )
     else:
         from logtrics_spark.operators.rollup import set_sketch_estimate
 
@@ -392,12 +404,14 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--config", help="deployment TOML (for [sketches] merge params)")
     h.set_defaults(fn=_cmd_archive)
 
-    q = sub.add_parser("sketch", help="percentile/top-k/distinct from stored sketch tiers")
+    q = sub.add_parser("sketch", help="percentile/top-k/distinct/point-frequency from stored sketch tiers")
     q.add_argument("--store", required=True, help="live daemon store OR archived RollupJob store")
-    q.add_argument("--kind", required=True, choices=["tdigest", "mg", "hll"])
+    q.add_argument("--kind", required=True, choices=["tdigest", "mg", "hll", "cms"])
     q.add_argument("--tier", default="1h")
     q.add_argument("--q", type=float, default=0.95, help="quantile (tdigest)")
     q.add_argument("--n", type=int, default=10, help="top-n (mg)")
+    q.add_argument("--item", action="append", default=[],
+                   help="point-frequency probe item (cms; repeatable)")
     q.add_argument("--limit", type=int, default=50)
     q.add_argument("--config", help="deployment TOML (for [sketches] merge params)")
     q.set_defaults(fn=_cmd_sketch)

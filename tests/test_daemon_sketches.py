@@ -17,7 +17,7 @@ KEY = ["source", "metric", "kind"]
 
 SK_TOML = (
     '[graphite]\ntiers = ["1m", "1h"]\n'
-    '[sketches]\nenabled = ["tdigest", "mg", "hll"]\nitem_col = "user"\nmg_k = 64\n'
+    '[sketches]\nenabled = ["tdigest", "mg", "hll", "cms"]\nitem_col = "user"\nmg_k = 64\n'
 )
 
 
@@ -88,14 +88,16 @@ def test_daemon_sketch_e2e_flush_cascade_archive(spark, tmp_path):
     counts = d.cascade_tiers()
     assert counts["sk_tdigest:1h"] == 2  # one 1h window per day
     assert counts["sk_mg:1h"] == 2 and counts["sk_hll:1h"] == 2
+    assert counts["sk_cms:1h"] == 2
 
     job = RollupJob(spark, str(tmp_path / "archive"), tiers=["1m", "1h"])
     stats = d.archive_closed_days(job)
     assert stats["sk_tdigest:1m"] == 60 and stats["sk_tdigest:1h"] == 1
     assert stats["sk_mg:1h"] == 1 and stats["sk_hll:1h"] == 1
+    assert stats["sk_cms:1m"] == 60 and stats["sk_cms:1h"] == 1
 
     # live head dropped the closed day's sketches, kept the open day
-    for name in ("tdigest", "mg", "hll"):
+    for name in ("tdigest", "mg", "hll", "cms"):
         assert d.io.list_partitions(f"sk_{name}/tier=1m", "day") == ["2024-03-02"]
 
     # ARCHIVED 1h sketches answer everything for the dropped day
@@ -115,6 +117,14 @@ def test_daemon_sketch_e2e_flush_cascade_archive(spark, tmp_path):
     est = set_sketch_estimate(job.io.read("sk_hll/tier=1h").drop("day")).collect()[0]
     true_distinct = closed["user"].nunique()
     assert abs(est["cnt_distinct"] - true_distinct) / true_distinct <= 0.05
+
+    # CMS answers point frequency for ANY item post-retention — incl.
+    # tail users the MG summary may have clipped (user 7 is planted
+    # once per minute; ~60 users vs width 1024 -> collision-free)
+    from logtrics_spark.operators.countmin import cms_query
+
+    freq = cms_query(job.io.read("sk_cms/tier=1h").drop("day"), ["7"]).collect()[0]
+    assert freq["est_count"] == 60 and freq["total_n"] == len(closed)
 
     # idempotent: second archive is a no-op and leaves the store intact
     assert d.archive_closed_days(job) == {}
@@ -259,7 +269,7 @@ def test_sketch_cli_and_bare_daemon_autodetect(spark, tmp_path, capsys):
     # handle the sketch tables via auto-detection
     bare = Daemon(spark, {}, Engine(), str(tmp_path / "store"))
     assert bare.sketch_kinds == []
-    assert set(bare._sketch_kinds_effective()) == {"tdigest", "mg", "hll"}
+    assert set(bare._sketch_kinds_effective()) == {"tdigest", "mg", "hll", "cms"}
     counts = bare.compact()
     assert "sk_tdigest:1m" in counts
 
@@ -275,6 +285,24 @@ def test_sketch_cli_and_bare_daemon_autodetect(spark, tmp_path, capsys):
     assert rc == 0
     rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rows[0]["item"] == "7" and rows[0]["rank"] == 1
+
+    # archived-store point-frequency via the CLI
+    rc = cli_main(
+        ["sketch", "--store", str(tmp_path / "archive"), "--kind", "cms",
+         "--tier", "1h", "--item", "7", "--item", "999"]
+    )
+    assert rc == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    by_item = {r["item"]: r for r in rows}
+    assert by_item["7"]["est_count"] == 30  # planted once per minute
+    assert by_item["999"]["est_count"] == 0  # absent item, no collision
+
+    # cms without --item -> usage error, not a crash
+    rc = cli_main(
+        ["sketch", "--store", str(tmp_path / "archive"), "--kind", "cms",
+         "--tier", "1h"]
+    )
+    assert rc == 2
 
     # missing table -> rc 2
     rc = cli_main(

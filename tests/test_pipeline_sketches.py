@@ -1,5 +1,5 @@
 """First-class sketch tiers in the batch RollupJob (``sketches=``):
-run() builds mergeable tdigest/MG/HLL tier tables from the same pruned
+run() builds mergeable tdigest/MG/HLL/CMS tier tables from the same pruned
 points, cascades them by MERGING, and they follow the same pending-unit
 resume + retention discipline as the scalar tiers — the engine-API form
 of the manual composition test_sketch_store.py pins.
@@ -21,7 +21,7 @@ from logtrics_spark.plans.pipeline import RollupJob
 
 N = 4_000
 STEP = 30  # ~33h of derived ts -> 2 days
-SK = {"enabled": ["tdigest", "mg", "hll"], "item_col": "value"}
+SK = {"enabled": ["tdigest", "mg", "hll", "cms"], "item_col": "value"}
 
 
 @pytest.fixture()
@@ -40,7 +40,7 @@ def test_sketch_tiers_built_and_answer(spark, tok, tmp_path):
     job = RollupJob(spark, str(tmp_path / "s"), step_seconds=STEP, sketches=SK)
     job.ingest_raw(tok)
     job.run(run_id="r1")
-    for k in ("tdigest", "mg", "hll"):
+    for k in ("tdigest", "mg", "hll", "cms"):
         for t in job.tiers:
             assert job.io.exists(f"sk_{k}/tier={t}"), (k, t)
 
@@ -86,6 +86,31 @@ def test_sketch_tiers_built_and_answer(spark, tok, tmp_path):
         assert r["est_count"] <= mode_count
         true_d = svals.nunique()
         assert abs(est[key]["cnt_distinct"] - true_d) / true_d <= 0.05
+
+    # CMS point frequencies: exact mass, never-underestimate, and the
+    # epsilon overestimate bound (3x slack absorbs the per-probe
+    # exp(-depth) failure probability across all windows probed)
+    from logtrics_spark.operators.countmin import item_indices
+
+    cms_rows = {
+        (r["source"], r["metric"], r["kind"], pd.Timestamp(r["window_start"])): r
+        for r in job.read_sketch_tier("cms", "1d").collect()
+    }
+    for key, g in grp:
+        r = cms_rows[key]
+        assert r["total_n"] == len(g)
+        svals = g["value"].astype(str)
+        vc = svals.value_counts()
+        tab = np.asarray(r["table"], dtype=np.int64)
+        depth, width = r["depth"], r["width"]
+        for item, true_c in ((vc.index[0], vc.iloc[0]),
+                             (vc.index[len(vc) // 2], vc.iloc[len(vc) // 2])):
+            est = min(
+                tab[d * width + j]
+                for d, j in enumerate(item_indices(item, depth, width))
+            )
+            assert est >= true_c
+            assert est - true_c <= 3 * np.e / width * r["total_n"]
 
 
 def test_sketch_kill_resume_completes(spark, tok, tmp_path):
@@ -148,7 +173,7 @@ def test_no_sketches_is_noop(spark, tok, tmp_path):
     job = RollupJob(spark, str(tmp_path / "s"), step_seconds=STEP)
     job.ingest_raw(tok)
     job.run(run_id="r")
-    for k in ("tdigest", "mg", "hll"):
+    for k in ("tdigest", "mg", "hll", "cms"):
         assert not job.io.exists(f"sk_{k}")
 
 
@@ -193,7 +218,7 @@ def test_retention_auto_detects_sketch_tables(spark, tok, tmp_path):
     bare = RollupJob(spark, store, step_seconds=STEP)  # no sketches=
     dropped = bare.retention_tiers({"1m": 0, "5m": 0}, today="2099-01-01")
     assert dropped
-    for k in ("tdigest", "mg", "hll"):
+    for k in ("tdigest", "mg", "hll", "cms"):
         for t in ("1m", "5m"):
             assert not bare.io.exists(f"sk_{k}/tier={t}") or not bare.io.list_partitions(
                 f"sk_{k}/tier={t}", "day"
