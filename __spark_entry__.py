@@ -1128,17 +1128,28 @@ def q_tdigest_1h(spark, sf_dir):
     )
 
 
-def q_mg_topk_1h(spark, sf_dir):
-    """Mergeable heavy-hitter tiers (operators/heavyhitters.py): per-
-    minute Misra-Gries summaries over user_id, sketch-merged to 1h,
-    top-5 exploded.
+def q_freq_sketch_1h(spark, sf_dir):
+    """Frequency-sketch tiers in one chained entry (former mg_topk_1h
+    plus the round-6 Count-Min family):
 
-    At sf0.01 the per-window user cardinality sits far below k=8192,
-    so every summary is EXACT (err 0) and the whole
+    part 'mg' — per-minute Misra-Gries summaries over user_id
+    (operators/heavyhitters.py), sketch-merged to 1h, top-5 exploded.
+    At sf0.01 the per-window user cardinality sits far below k=8192, so
+    every summary is EXACT (err 0) and the whole
     build+merge+cascade+topk pipeline must hash-match the direct SQL
     top-k (count desc, item asc ties) — the truncation error bound is
     pinned separately by tests/test_heavyhitters.py.
+
+    part 'cms' — per-minute Count-Min tables over user_id
+    (operators/countmin.py, depth=4 width=128), linearly cascaded to
+    1h, point-frequency probes for users '1'/'2'/'3'.  The oracle arm
+    REPLICATES the CMS algorithm in SQL — same md5 double-hash
+    (hugeint arithmetic, exact power-of-256 literals), same cell sums,
+    same min-over-rows probe — so the hash match covers TRUE estimate
+    semantics including hash collisions at this deliberately small
+    width, not just a collision-free exact regime.
     """
+    from logtrics_spark.operators.countmin import cms_cascade, cms_query, cms_rollup
     from logtrics_spark.operators.heavyhitters import mg_cascade, mg_rollup, mg_topk
 
     pts = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -1148,10 +1159,11 @@ def q_mg_topk_1h(spark, sf_dir):
         "ts",
         "user_id",
     )
+    nl = F.lit(None).cast("long")
     fine = mg_rollup(pts, "1m", "user_id", k=8192)
     hour = mg_cascade(fine, "1m", "1h", k=8192)
-    top = mg_topk(hour, n=5)
-    return top.select(
+    mg = mg_topk(hour, n=5).select(
+        F.lit("mg").alias("part"),
         "source",
         F.unix_timestamp("window_start").cast("long").alias("ws"),
         "item",
@@ -1160,6 +1172,19 @@ def q_mg_topk_1h(spark, sf_dir):
         "err",
         "total_n",
     )
+    cfine = cms_rollup(pts, "1m", "user_id", depth=4, width=128)
+    chour = cms_cascade(cfine, "1m", "1h")
+    cms = cms_query(chour, ["1", "2", "3"]).select(
+        F.lit("cms").alias("part"),
+        "source",
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "item",
+        "est_count",
+        nl.alias("rank"),
+        nl.alias("err"),
+        "total_n",
+    )
+    return mg.unionByName(cms)
 
 
 # --------------------------------------------------- chained entries
@@ -1463,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle arm pins the same columns.  New/changed entries run first.
     return {
         # --- new or re-oracled in round 6 ----------------------------
+        "freq_sketch_1h": q_freq_sketch_1h,
         "similarity_ivf_append": q_similarity_ivf_append,
         "tiers_chain": q_tiers_chain,
         "instruments_chain": q_instruments_chain,
@@ -1477,7 +1503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "holtwinters_1h": q_holtwinters_1h,
         "tdigest_1h": q_tdigest_1h,
-        "mg_topk_1h": q_mg_topk_1h,
         "series_select_1h": q_series_select_1h,
         "series_threshold_1h": q_series_threshold_1h,
         "error_ratio_1h": q_error_ratio_1h,
@@ -2204,7 +2229,33 @@ def oracle_sql() -> dict[str, str]:
     # MG summaries are exact below capacity (err 0): the sketch
     # pipeline must reproduce the direct top-k, ties (count desc,
     # item asc) included
-    sqls["mg_topk_1h"] = """
+    # freq_sketch_1h: part 'mg' is the exact-regime top-k; part 'cms'
+    # replicates the Count-Min algorithm itself in SQL — the md5
+    # double-hash spec (item_indices: h1/h2 = little-endian md5
+    # halves, h2 forced odd, row d probes (h1 + d*h2) mod width) is
+    # recomputed with HUGEINT arithmetic and exact 256^i literals, the
+    # per-window cell sums are rebuilt, and the probe takes the min
+    # over rows — so collisions at width=128 are REPRODUCED, not
+    # assumed away, and the value hash pins true estimate semantics.
+    _CMS_W, _CMS_D = 128, 4
+    _pows = "[" + ", ".join(f"CAST('{256**i}' AS HUGEINT)" for i in range(8)) + "]"
+
+    def _cms_hash(src: str) -> str:
+        """CTE text computing h1/h2raw for a relation with an `item` col."""
+        return f"""
+          SELECT item,
+            list_sum(list_transform(range(0, 8),
+              i -> CAST(CAST('0x' || substr(md5(item), 2*i+1, 2) AS INTEGER)
+                        AS HUGEINT) * {_pows}[i+1])) AS h1,
+            list_sum(list_transform(range(8, 16),
+              i -> CAST(CAST('0x' || substr(md5(item), 2*i+1, 2) AS INTEGER)
+                        AS HUGEINT) * {_pows}[i-7])) AS h2raw
+          FROM {src}"""
+
+    _idx = (
+        f"CAST((h1 + d * (h2raw - (h2raw % 2) + 1)) % {_CMS_W} AS BIGINT)"
+    )
+    sqls["freq_sketch_1h"] = f"""
         WITH c AS (
           SELECT event_type AS source,
                  CAST(floor(extract(epoch FROM ts)/3600)*3600 AS BIGINT) AS ws,
@@ -2215,10 +2266,40 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY source, ws
                                     ORDER BY cnt DESC, item ASC) AS rank,
                  CAST(sum(cnt) OVER (PARTITION BY source, ws) AS BIGINT) AS total_n
-          FROM c)
-        SELECT source, ws, item, cnt AS est_count, rank,
-               CAST(0 AS BIGINT) AS err, total_n
-        FROM r WHERE rank <= 5
+          FROM c),
+        mg AS (
+          SELECT 'mg' AS part, source, ws, item, cnt AS est_count, rank,
+                 CAST(0 AS BIGINT) AS err, total_n
+          FROM r WHERE rank <= 5),
+        hx AS ({_cms_hash("(SELECT DISTINCT item FROM c)")}),
+        cells AS (
+          SELECT item, CAST(d AS BIGINT) AS d, {_idx} AS idx
+          FROM hx, (SELECT unnest(range(0, {_CMS_D})) AS d)),
+        tab AS (
+          SELECT c.source, c.ws, cells.d, cells.idx, SUM(c.cnt) AS v
+          FROM c JOIN cells USING (item) GROUP BY 1, 2, 3, 4),
+        ph AS ({_cms_hash("(SELECT unnest(['1','2','3']) AS item)")}),
+        pc AS (
+          SELECT item, CAST(d AS BIGINT) AS d, {_idx} AS idx
+          FROM ph, (SELECT unnest(range(0, {_CMS_D})) AS d)),
+        total AS (
+          SELECT source, ws, CAST(SUM(cnt) AS BIGINT) AS total_n
+          FROM c GROUP BY 1, 2),
+        cms AS (
+          SELECT 'cms' AS part, w.source, w.ws, p.item,
+                 CAST(MIN(COALESCE(t.v, 0)) AS BIGINT) AS est_count,
+                 CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS err
+          FROM (SELECT DISTINCT source, ws FROM c) w
+          CROSS JOIN pc p
+          LEFT JOIN tab t
+            ON t.source = w.source AND t.ws = w.ws
+           AND t.d = p.d AND t.idx = p.idx
+          GROUP BY 1, 2, 3, 4)
+        SELECT part, source, ws, item, est_count, rank, err, total_n FROM mg
+        UNION ALL
+        SELECT cms.part, cms.source, cms.ws, cms.item, cms.est_count,
+               cms.rank, cms.err, total.total_n
+        FROM cms JOIN total USING (source, ws)
     """
     return sqls
 

@@ -107,7 +107,7 @@ def main() -> None:
         "lttb_1m",
         "sessions_30m",
         "tdigest_1h",
-        "mg_topk_1h",
+        "freq_sketch_1h",
         "error_ratio_1h",
         "series_select_1h",
         "series_threshold_1h",

@@ -36,7 +36,7 @@ PY_ALLOWED = {
     # sketch pipelines (direct mode): collect_list shuffle + Arrow
     # build/merge/stats passes — no grouped-map, no per-group pandas
     "tdigest_1h": {"ArrowEvalPython"},
-    "mg_topk_1h": {"ArrowEvalPython"},
+    "freq_sketch_1h": {"ArrowEvalPython"},  # incl. cms build; cascade+probe pure JVM
 }
 NLJ_ALLOWED = {"similarity_topk"}
 
