@@ -1140,14 +1140,18 @@ def q_freq_sketch_1h(spark, sf_dir):
     top-k (count desc, item asc ties) — the truncation error bound is
     pinned separately by tests/test_heavyhitters.py.
 
-    part 'cms' — per-minute Count-Min tables over user_id
+    part 'cms' — per-HOUR Count-Min tables over user_id
     (operators/countmin.py, depth=4 width=128), linearly cascaded to
-    1h, point-frequency probes for users '1'/'2'/'3'.  The oracle arm
+    1d, point-frequency probes for users '1'/'2'/'3'.  The oracle arm
     REPLICATES the CMS algorithm in SQL — same md5 double-hash
     (hugeint arithmetic, exact power-of-256 literals), same cell sums,
     same min-over-rows probe — so the hash match covers TRUE estimate
     semantics including hash collisions at this deliberately small
-    width, not just a collision-free exact regime.
+    width, not just a collision-free exact regime.  The fine tier is
+    1h, not 1m, per the density rule in cms_rollup's docstring: a CMS
+    row costs fixed depth*width longs, so table-per-near-empty-minute
+    made the sketch larger than the data (measured 15.7 s at sf0.1 vs
+    ~2 s at 1h grain).
     """
     from logtrics_spark.operators.countmin import cms_cascade, cms_query, cms_rollup
     from logtrics_spark.operators.heavyhitters import mg_cascade, mg_rollup, mg_topk
@@ -1172,9 +1176,9 @@ def q_freq_sketch_1h(spark, sf_dir):
         "err",
         "total_n",
     )
-    cfine = cms_rollup(pts, "1m", "user_id", depth=4, width=128)
-    chour = cms_cascade(cfine, "1m", "1h")
-    cms = cms_query(chour, ["1", "2", "3"]).select(
+    cfine = cms_rollup(pts, "1h", "user_id", depth=4, width=128)
+    cday = cms_cascade(cfine, "1h", "1d")
+    cms = cms_query(cday, ["1", "2", "3"]).select(
         F.lit("cms").alias("part"),
         "source",
         F.unix_timestamp("window_start").cast("long").alias("ws"),
@@ -2271,25 +2275,30 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'mg' AS part, source, ws, item, cnt AS est_count, rank,
                  CAST(0 AS BIGINT) AS err, total_n
           FROM r WHERE rank <= 5),
-        hx AS ({_cms_hash("(SELECT DISTINCT item FROM c)")}),
+        cd AS (
+          SELECT event_type AS source,
+                 CAST(floor(extract(epoch FROM ts)/86400)*86400 AS BIGINT) AS ws,
+                 CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3),
+        hx AS ({_cms_hash("(SELECT DISTINCT item FROM cd)")}),
         cells AS (
           SELECT item, CAST(d AS BIGINT) AS d, {_idx} AS idx
           FROM hx, (SELECT unnest(range(0, {_CMS_D})) AS d)),
         tab AS (
-          SELECT c.source, c.ws, cells.d, cells.idx, SUM(c.cnt) AS v
-          FROM c JOIN cells USING (item) GROUP BY 1, 2, 3, 4),
+          SELECT cd.source, cd.ws, cells.d, cells.idx, SUM(cd.cnt) AS v
+          FROM cd JOIN cells USING (item) GROUP BY 1, 2, 3, 4),
         ph AS ({_cms_hash("(SELECT unnest(['1','2','3']) AS item)")}),
         pc AS (
           SELECT item, CAST(d AS BIGINT) AS d, {_idx} AS idx
           FROM ph, (SELECT unnest(range(0, {_CMS_D})) AS d)),
         total AS (
           SELECT source, ws, CAST(SUM(cnt) AS BIGINT) AS total_n
-          FROM c GROUP BY 1, 2),
+          FROM cd GROUP BY 1, 2),
         cms AS (
           SELECT 'cms' AS part, w.source, w.ws, p.item,
                  CAST(MIN(COALESCE(t.v, 0)) AS BIGINT) AS est_count,
                  CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS err
-          FROM (SELECT DISTINCT source, ws FROM c) w
+          FROM (SELECT DISTINCT source, ws FROM cd) w
           CROSS JOIN pc p
           LEFT JOIN tab t
             ON t.source = w.source AND t.ws = w.ws

@@ -56,6 +56,7 @@ sums never leave the JVM.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -69,12 +70,19 @@ from logtrics_spark.operators.rollup import KEY, tier_seconds, window_start
 VAL_COLS = ["table", "total_n"]
 
 
-def item_indices(item: str, depth: int, width: int) -> list[int]:
-    """The ``depth`` probe columns for one item (documented hash spec)."""
+@lru_cache(maxsize=65536)
+def item_indices(item: str, depth: int, width: int) -> tuple[int, ...]:
+    """The ``depth`` probe columns for one item (documented hash spec).
+
+    Cached per executor: a batch of sparse windows re-hashes the same
+    hot items thousands of times; the cache is bounded so unbounded
+    item cardinality cannot grow executor memory, and the cached value
+    is a tuple so no caller can mutate a shared entry.
+    """
     dig = hashlib.md5(str(item).encode("utf-8")).digest()
     h1 = int.from_bytes(dig[:8], "little")
     h2 = int.from_bytes(dig[8:], "little") | 1
-    return [(h1 + d * h2) % width for d in range(depth)]
+    return tuple((h1 + d * h2) % width for d in range(depth))
 
 
 def _scatter(items, counts, depth: int, width: int) -> np.ndarray:
@@ -108,6 +116,17 @@ def cms_rollup(
     ``depth*width`` per group per batch; linearity guarantees the
     result table is IDENTICAL to direct mode (tested), so the choice
     is purely a physical-plan decision.
+
+    **Pick the fine tier by window DENSITY**: a CMS row costs a fixed
+    ``depth*width`` longs regardless of content, so building tables for
+    windows holding a handful of items makes the sketch LARGER than the
+    exact item list and the per-window table allocation dominates
+    (measured: 1m-fine over ~1.5-item windows at sf0.1 cost ~7x a
+    1h-fine build of the same data).  Rule of thumb: choose the finest
+    tier where expected distinct items per window approaches ``width``;
+    sparser grains are better served by MG's (item, count) rows, which
+    are exact below capacity anyway — the families complement, not
+    compete.
     """
     key = key or KEY
     gcols = [*key, "window_start"]

@@ -43,7 +43,7 @@ def test_hash_spec_stable():
     """The documented md5 double-hash spec — pinned values so stored
     sketches stay queryable across library versions."""
     assert item_indices("books", 4, 1024) == item_indices("books", 4, 1024)
-    assert item_indices("books", 2, 8) == [
+    assert list(item_indices("books", 2, 8)) == [
         (int.from_bytes(__import__("hashlib").md5(b"books").digest()[:8], "little")
          + d * (int.from_bytes(__import__("hashlib").md5(b"books").digest()[8:], "little") | 1)
          ) % 8
