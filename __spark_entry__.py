@@ -1382,13 +1382,25 @@ def q_gapfill_chain_1h(spark, sf_dir):
 
 
 def q_text_extract_stats(spark, sf_dir):
-    """Regex gate + first-match extraction (F1/F2) and the text-stats
-    profile in one entry (former extract_regex / text_stats): part
+    """Regex gate + first-match extraction (F1/F2), the text-stats
+    profile, and benchmark decontamination in one entry: part
     'extract' carries matching docs' first capture, part 'stats'
-    carries every doc's whitespace token count + punctuation ratio."""
+    carries every doc's whitespace token count + punctuation ratio,
+    part 'decontam' flags training docs (doc_id % 10 != 7) sharing any
+    8-gram with the benchmark split (doc_id % 10 == 7) via
+    operators/decontam.py — the oracle rebuilds the same grams with
+    DuckDB string ops and joins on the gram STRINGS, so the hash match
+    also certifies the xxhash64 fingerprint path is collision-free
+    here."""
+    from logtrics_spark.operators.decontam import decontaminate
     from logtrics_spark.operators.text import punct_ratio, whitespace_token_count
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _null_decontam = [
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("matched_grams"),
+        F.lit(None).cast("double").alias("contamination"),
+    ]
     pat = r"(qu[a-z]+)"
     ext = docs.where(F.col("text").rlike(pat)).select(
         F.lit("extract").alias("part"),
@@ -1396,6 +1408,7 @@ def q_text_extract_stats(spark, sf_dir):
         F.regexp_extract("text", pat, 1).alias("first_qu"),
         F.lit(None).cast("long").alias("n_ws_tokens"),
         F.lit(None).cast("double").alias("punct_ratio"),
+        *_null_decontam,
     )
     stats = docs.select(
         F.lit("stats").alias("part"),
@@ -1403,8 +1416,23 @@ def q_text_extract_stats(spark, sf_dir):
         F.lit(None).cast("string").alias("first_qu"),
         whitespace_token_count("text").cast("long").alias("n_ws_tokens"),
         _q(punct_ratio("text"), 6).alias("punct_ratio"),
+        *_null_decontam,
     )
-    return ext.unionByName(stats)
+    dec = decontaminate(
+        docs.where(F.col("doc_id") % 10 != 7),
+        docs.where(F.col("doc_id") % 10 == 7),
+        n=8,
+    ).select(
+        F.lit("decontam").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("first_qu"),
+        F.lit(None).cast("long").alias("n_ws_tokens"),
+        F.lit(None).cast("double").alias("punct_ratio"),
+        "n_grams",
+        "matched_grams",
+        "contamination",
+    )
+    return ext.unionByName(stats).unionByName(dec)
 
 
 def q_similarity_ivf_append(spark, sf_dir):
@@ -1646,18 +1674,44 @@ def oracle_sql() -> dict[str, str]:
             FROM ({gap_linear_sql}) linear
         """,
         "text_extract_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) >= 8 THEN array_to_string(t[i:i+7], ' ')
+                          ELSE array_to_string(t, ' ') END AS g
+              FROM toks, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+            rep AS (
+              SELECT tr.doc_id, count(*) AS n_grams,
+                     count(bench.g) AS matched_grams
+              FROM (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 7) tr
+              LEFT JOIN bench ON tr.g = bench.g
+              GROUP BY 1)
             SELECT 'extract' AS part, doc_id,
                    regexp_extract(text, '(qu[a-z]+)', 1) AS first_qu,
                    CAST(NULL AS BIGINT) AS n_ws_tokens,
-                   CAST(NULL AS DOUBLE) AS punct_ratio
+                   CAST(NULL AS DOUBLE) AS punct_ratio,
+                   CAST(NULL AS BIGINT) AS n_grams,
+                   CAST(NULL AS BIGINT) AS matched_grams,
+                   CAST(NULL AS DOUBLE) AS contamination
             FROM documents WHERE regexp_matches(text, '(qu[a-z]+)')
             UNION ALL
             SELECT 'stats', doc_id, CAST(NULL AS VARCHAR),
                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT),
                    floor((CASE WHEN length(text) > 0 THEN
                        (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5 + 1e-6) / 1000000.0
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5 + 1e-6) / 1000000.0,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
             FROM documents
+            UNION ALL
+            SELECT 'decontam', doc_id, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   n_grams, matched_grams,
+                   matched_grams / CAST(n_grams AS DOUBLE)
+            FROM rep WHERE matched_grams >= 1
         """,
         "tokseq_tiers": _tokseq_tiers_sql(),
         # both IVF shapes degenerate to the exact top-k at nprobe == C,

@@ -1,0 +1,109 @@
+"""Benchmark decontamination — n-gram overlap against an eval set.
+
+The standard LLM-training hygiene step (Brown et al. 2020, GPT-3
+appendix C: 13-gram overlap; also used by The Pile and Llama): any
+training document sharing an n-gram with a held-out benchmark set is
+flagged (and usually dropped) so eval scores measure generalization,
+not memorization.  The reference engine has no analogue — this extends
+the repo's LLM-pipeline family (SURVEY.md §2, dedup/text operators).
+
+Scale shape (the 100 TB story):
+- Gram extraction reuses ``dedup._shingle_rows`` — whole-stage-codegen
+  posexplode + window, one pass over each side, identical gram
+  semantics to the MinHash/Jaccard family (lowercased,
+  whitespace-split word n-grams; docs shorter than n yield ONE partial
+  gram, i.e. the whole doc, so a short training doc fully contained in
+  benchmark text still flags).
+- Grams travel as 8-byte xxhash64 fingerprints, never strings.
+- The benchmark side is distinct-deduped and (by default) BROADCAST:
+  eval suites are tiny next to a training corpus, so the corpus-side
+  gram stream joins map-side with zero shuffle.  Pass
+  ``broadcast=False`` for an unusually large benchmark set and the
+  join falls back to a shuffled hash join on the 8-byte key.
+- The only corpus shuffle is the per-doc groupBy, which map-side
+  combines to one row per (doc, task) before the exchange.
+
+Fingerprint caveat: matching is on 64-bit hashes, so two different
+grams colliding would over-flag (P ~ 2^-64 per pair — negligible at
+any realistic gram count, and over-flagging is the safe direction for
+decontamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logtrics_spark.operators.dedup import _shingle_rows
+
+
+def gram_fingerprints(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram_fp) — one row per DISTINCT word n-gram per document.
+
+    xxhash64 fingerprints of the same gram definition the dedup family
+    uses (``dedup._shingle_rows``).  Distinct per doc so a gram
+    repeated inside one document counts once in overlap statistics.
+    """
+    if n < 1:
+        raise ValueError(f"n-gram size must be >= 1, got {n}")
+    rows = _shingle_rows(df, text_col, id_col, n)
+    return rows.select("id", F.xxhash64("sh").alias("gram_fp")).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    min_matches: int = 1,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-training-doc benchmark-overlap report.
+
+    Returns one row per training document with at least ``min_matches``
+    distinct n-grams also present anywhere in ``benchmark``:
+
+        (id_col, n_grams, matched_grams, contamination)
+
+    where ``n_grams`` is the doc's distinct-gram count,
+    ``matched_grams`` how many of those appear in the benchmark set,
+    and ``contamination`` their ratio.  ``min_matches=0`` returns every
+    training doc (clean docs carry ``matched_grams = 0``) — the full
+    audit report rather than the drop list.
+
+    Join the result's ids back with a broadcast anti-join to drop
+    flagged docs; ``plans/curation.py`` composes exactly that.
+    """
+    if min_matches < 0:
+        raise ValueError(f"min_matches must be >= 0, got {min_matches}")
+    bench_fps = (
+        gram_fingerprints(
+            benchmark, n, bench_text_col or text_col, bench_id_col or id_col
+        )
+        .select("gram_fp")
+        .distinct()
+        .withColumn("_bench_hit", F.lit(1))
+    )
+    if broadcast:
+        bench_fps = F.broadcast(bench_fps)
+    grams = gram_fingerprints(train, n, text_col, id_col)
+    report = (
+        grams.join(bench_fps, "gram_fp", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_bench_hit").alias("matched_grams"),
+        )
+        .withColumn(
+            "contamination", F.col("matched_grams") / F.col("n_grams")
+        )
+        .withColumnRenamed("id", id_col)
+    )
+    if min_matches > 0:
+        report = report.where(F.col("matched_grams") >= min_matches)
+    return report

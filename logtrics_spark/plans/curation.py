@@ -10,6 +10,7 @@ trail:
     exact      one keeper per identical text   8-byte-fingerprint groupBy
     near-dup   MinHash LSH -> exact-Jaccard    banded join, candidate-
                verify -> connected components  only verification
+    decontam   drop benchmark n-gram overlap   broadcast gram-set join
     sample     deterministic / stratified mix  md5-bucket, rerun-stable
 
 Scale shape: the corpus is touched by (a) one annotate+filter scan,
@@ -31,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logtrics_spark.operators.decontam import decontaminate
 from logtrics_spark.operators.dedup import (
     dedup_groups,
     minhash_lsh_dupes,
@@ -52,6 +54,8 @@ def curate(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket_size: int | None = 4096,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
     sample_rate: float | None = None,
     sample_rates: dict[str, float] | None = None,
     sample_by: str = "source",
@@ -126,6 +130,15 @@ def curate(
             .select(F.col("id").alias(id_col))
         )
         cur = _n("near_dedup", cur.join(drops, id_col, "left_anti"))
+
+    if benchmark is not None:
+        # benchmark decontamination (GPT-3 appendix C practice): drop
+        # any surviving doc sharing a decontam_n-gram with the eval
+        # set; the flagged-id set is tiny, so the anti-join broadcasts
+        flagged = decontaminate(
+            cur, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
+        ).select(id_col)
+        cur = _n("decontam", cur.join(F.broadcast(flagged), id_col, "left_anti"))
 
     if sample_rates:
         cur = _n(

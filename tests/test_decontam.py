@@ -1,0 +1,135 @@
+"""Decontamination tests (operators/decontam.py) — n-gram overlap
+flagging against a benchmark set, checked against a from-scratch
+Python gram computation."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logtrics_spark.operators.decontam import decontaminate, gram_fingerprints
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+def _py_grams(text: str, n: int) -> set[str]:
+    """Independent gram definition: lowercased whitespace words; docs
+    shorter than n yield the whole doc as one partial gram (the
+    _shingle_rows convention)."""
+    words = text.strip().lower().split()
+    if len(words) < n:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+BENCH = [
+    (100, "the quick brown fox jumps over the lazy dog tonight"),
+    (101, "pack my box with five dozen liquor jugs right now"),
+]
+
+TRAIN = [
+    # contains BENCH[0]'s words 3..7 verbatim -> flagged at n=5
+    (1, "intro words then fox jumps over the lazy ending words here"),
+    # clean: shares vocabulary but no 5-gram run
+    (2, "the brown dog jumps quick over fox lazy the tonight"),
+    # exact copy of a benchmark doc -> every gram matches
+    (3, "pack my box with five dozen liquor jugs right now"),
+    # short doc (< n words), not contained in any benchmark text
+    (4, "unrelated tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    return _docs(spark, TRAIN), _docs(spark, BENCH)
+
+
+def test_report_matches_python_oracle(spark, frames):
+    train, bench = frames
+    n = 5
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(train, bench, n=n, min_matches=0).collect()
+    }
+    bench_grams = set().union(*(_py_grams(t, n) for _, t in BENCH))
+    for doc_id, text in TRAIN:
+        grams = _py_grams(text, n)
+        matched = len(grams & bench_grams)
+        row = got[doc_id]
+        assert row["n_grams"] == len(grams), doc_id
+        assert row["matched_grams"] == matched, doc_id
+        assert row["contamination"] == pytest.approx(matched / len(grams))
+
+
+def test_min_matches_filters_clean_docs(spark, frames):
+    train, bench = frames
+    flagged = {
+        r["doc_id"] for r in decontaminate(train, bench, n=5).collect()
+    }
+    assert flagged == {1, 3}
+
+
+def test_exact_copy_fully_contaminated(spark, frames):
+    train, bench = frames
+    row = (
+        decontaminate(train, bench, n=5)
+        .where(F.col("doc_id") == 3)
+        .collect()[0]
+    )
+    assert row["matched_grams"] == row["n_grams"]
+    assert row["contamination"] == 1.0
+
+
+def test_short_doc_partial_gram_containment(spark):
+    """A doc shorter than n flags iff its whole text is itself a gram
+    of the benchmark (the partial-gram convention, documented)."""
+    bench = _docs(spark, [(9, "alpha beta gamma delta epsilon zeta")])
+    train = _docs(spark, [(1, "beta gamma delta"), (2, "delta beta")])
+    got = {r["doc_id"]: r for r in decontaminate(train, bench, n=3).collect()}
+    assert got[1]["matched_grams"] == 1  # 'beta gamma delta' is a bench 3-gram
+    assert 2 not in got
+
+
+def test_repeated_gram_counts_once(spark):
+    bench = _docs(spark, [(9, "x y z")])
+    train = _docs(spark, [(1, "x y z pad x y z pad x y z")])
+    row = decontaminate(train, bench, n=3).collect()[0]
+    # 9 gram positions but distinct grams only; 'x y z' matched once
+    assert row["matched_grams"] == 1
+    assert row["n_grams"] < 9
+
+
+def test_broadcast_off_same_result(spark, frames):
+    train, bench = frames
+    a = decontaminate(train, bench, n=5, min_matches=0, broadcast=True)
+    b = decontaminate(train, bench, n=5, min_matches=0, broadcast=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_gram_fingerprints_distinct_per_doc(spark):
+    df = _docs(spark, [(1, "a b a b a b")])
+    fps = gram_fingerprints(df, 2).collect()
+    assert len(fps) == 2  # 'a b' and 'b a', each once
+
+
+def test_bad_params_raise(spark, frames):
+    train, bench = frames
+    with pytest.raises(ValueError):
+        decontaminate(train, bench, n=0)
+    with pytest.raises(ValueError):
+        decontaminate(train, bench, min_matches=-1)
+
+
+def test_plan_broadcast_and_no_python(spark, frames):
+    """The scale contract: benchmark side broadcast, no Python stages,
+    no cartesian product."""
+    train, bench = frames
+    plan = decontaminate(train, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -580,6 +580,27 @@ def test_curation_pipeline_end_to_end(spark, docs):
     assert got == again  # rerun-stable (md5-bucket sampling, no rand())
 
 
+def test_curation_decontam_stage(spark, docs):
+    """curate(benchmark=...) drops exactly the docs sharing an n-gram
+    with the benchmark set and records the stage count; no benchmark
+    -> no 'decontam' stat and nothing dropped."""
+    from logtrics_spark.plans.curation import curate
+
+    base = docs.limit(30).select("doc_id", "text", "source")
+    # benchmark = two of the corpus docs verbatim -> those two (already
+    # unique in the corpus after exact dedup) must be dropped
+    bench = base.limit(2).select("doc_id", "text")
+    kept, stats = curate(
+        base, min_quality=None, near_dup=False, benchmark=bench, decontam_n=8
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert {0, 1} & ids == set()
+    assert stats["decontam"] <= stats["exact_dedup"] - 2
+    no_bench, stats2 = curate(base, min_quality=None, near_dup=False)
+    assert "decontam" not in stats2
+    assert no_bench.count() == stats["exact_dedup"]
+
+
 # ------------------------------------------- LSH oversized-bucket guard
 def test_lsh_oversized_bucket_guard_minhash(spark, caplog):
     """10k identical docs (one pathological LSH bucket per band): the
