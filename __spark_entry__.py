@@ -615,17 +615,51 @@ def q_salted_agg_1h(spark, sf_dir):
 
 
 def q_tokseq_stats(spark, sf_dir):
-    """Per-sequence token profile over the array<int32> payload —
-    all JVM array expressions, oracled by DuckDB list functions on the
-    same dumped parquet."""
+    """Per-sequence token profile over the array<int32> payload (part
+    'stats' — all JVM array expressions) plus post-tokenizer benchmark
+    decontamination (part 'decontam', operators/decontam.py
+    decontaminate_tokens): the benchmark set is planted
+    deterministically as the 24-token window [5..28] of every doc
+    whose id ends in '7' (generator tokens are position-hashes, so no
+    natural overlap exists — the planted windows are the ground
+    truth), n=8 token grams; flagged rows are exactly the window
+    donors, each matching its own 17 in-window grams.  Both parts are
+    oracled by DuckDB list functions on the same dumped parquet; the
+    oracle joins on the gram VALUES (stringified lists) while Spark
+    joins on xxhash64 fingerprints, so the hash match certifies the
+    fingerprint path collision-free here."""
+    from logtrics_spark.operators.decontam import decontaminate_tokens
     from logtrics_spark.operators.tokens import token_stats
 
-    s = token_stats(_tokseq_raw(spark))
-    return s.select(
+    tok = _tokseq_raw(spark)
+    _null_dec = [
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("matched_grams"),
+        F.lit(None).cast("double").alias("contamination"),
+    ]
+    s = token_stats(tok).select(
+        F.lit("stats").alias("part"),
         "doc_id", "n_tok", "n_unique",
         _q("unique_ratio", 6).alias("unique_ratio"),
         "min_token", "max_token",
+        *_null_dec,
     )
+    bench = tok.where(
+        F.col("doc_id").endswith("7") & (F.col("n_tok") >= 28)
+    ).select("doc_id", F.slice("tokens", 5, 24).alias("tokens"))
+    dec = decontaminate_tokens(tok, bench, n=8).select(
+        F.lit("decontam").alias("part"),
+        "doc_id",
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("int").alias("n_unique"),
+        F.lit(None).cast("double").alias("unique_ratio"),
+        F.lit(None).cast("int").alias("min_token"),
+        F.lit(None).cast("int").alias("max_token"),
+        "n_grams",
+        "matched_grams",
+        "contamination",
+    )
+    return s.unionByName(dec)
 
 
 def q_tokseq_vocab(spark, sf_dir):
@@ -2007,14 +2041,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DuckDB list functions over the dumped token table.
         "tokseq_stats": f"""
-            SELECT doc_id,
+            WITH tt AS (
+              SELECT doc_id, tokens AS t
+              FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet')),
+            bwin AS (
+              SELECT t[5:28] AS w FROM tt
+              WHERE doc_id LIKE '%7' AND len(t) >= 28),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(w[i:i+7], ',') AS g
+              FROM bwin, unnest(range(1, 18)) AS u(i)),
+            tgrams AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) >= 8 THEN array_to_string(t[i:i+7], ',')
+                          ELSE array_to_string(t, ',') END AS g
+              FROM tt, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)),
+            rep AS (
+              SELECT tg.doc_id, count(*) AS n_grams,
+                     count(bg.g) AS matched_grams
+              FROM tgrams tg LEFT JOIN bgrams bg ON tg.g = bg.g
+              GROUP BY 1)
+            SELECT 'stats' AS part, doc_id,
                    CAST(len(tokens) AS INT) AS n_tok,
                    CAST(len(list_distinct(tokens)) AS INT) AS n_unique,
                    floor((len(list_distinct(tokens)) * 1.0 / len(tokens))
                          * 1000000.0 + 0.5 + 1e-6) / 1000000.0 AS unique_ratio,
                    list_min(tokens) AS min_token,
-                   list_max(tokens) AS max_token
+                   list_max(tokens) AS max_token,
+                   CAST(NULL AS BIGINT) AS n_grams,
+                   CAST(NULL AS BIGINT) AS matched_grams,
+                   CAST(NULL AS DOUBLE) AS contamination
             FROM read_parquet('{TOKSEQ_RAW_DUMP}/*.parquet')
+            UNION ALL
+            SELECT 'decontam', doc_id,
+                   CAST(NULL AS INT), CAST(NULL AS INT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS INT),
+                   n_grams, matched_grams,
+                   matched_grams / CAST(n_grams AS DOUBLE)
+            FROM rep WHERE matched_grams >= 1
         """,
         "tokseq_vocab": f"""
             WITH t AS (

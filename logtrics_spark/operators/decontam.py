@@ -52,6 +52,87 @@ def gram_fingerprints(
     return rows.select("id", F.xxhash64("sh").alias("gram_fp")).distinct()
 
 
+def token_gram_fingerprints(
+    df: DataFrame, n: int, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram_fp) — distinct token n-grams over an ``array<int>``
+    payload (the north-rule token table), no text round-trip.
+
+    Unlike the text path (posexplode + window in
+    ``dedup._shingle_rows``), the token array is ALREADY ordered per
+    row, so grams come from one array-HOF projection — slice windows of
+    the array, hash each slice — with zero shuffle.  Sequences shorter
+    than n yield the whole sequence as one partial gram, matching the
+    text convention.
+    """
+    if n < 1:
+        raise ValueError(f"n-gram size must be >= 1, got {n}")
+    toks = F.col(tokens_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array(F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i, n)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram_fp"))
+        .distinct()
+    )
+
+
+def _overlap_report(
+    grams: DataFrame,
+    bench_fps: DataFrame,
+    id_col: str,
+    min_matches: int,
+    broadcast: bool,
+) -> DataFrame:
+    """Shared join/agg tail: per-doc distinct-gram overlap counts."""
+    if min_matches < 0:
+        raise ValueError(f"min_matches must be >= 0, got {min_matches}")
+    bench_fps = bench_fps.select("gram_fp").distinct().withColumn(
+        "_bench_hit", F.lit(1)
+    )
+    if broadcast:
+        bench_fps = F.broadcast(bench_fps)
+    report = (
+        grams.join(bench_fps, "gram_fp", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_bench_hit").alias("matched_grams"),
+        )
+        .withColumn(
+            "contamination", F.col("matched_grams") / F.col("n_grams")
+        )
+        .withColumnRenamed("id", id_col)
+    )
+    if min_matches > 0:
+        report = report.where(F.col("matched_grams") >= min_matches)
+    return report
+
+
+def decontaminate_tokens(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    bench_tokens_col: str | None = None,
+    bench_id_col: str | None = None,
+    min_matches: int = 1,
+    broadcast: bool = True,
+) -> DataFrame:
+    """``decontaminate`` over pre-tokenized sequences: the same
+    per-doc overlap report, with grams taken directly from the
+    ``array<int>`` token payload (post-tokenizer decontamination —
+    matches exactly what the model would train on, immune to
+    whitespace/case normalization drift between pipelines)."""
+    bench_fps = token_gram_fingerprints(
+        benchmark, n, bench_tokens_col or tokens_col, bench_id_col or id_col
+    )
+    grams = token_gram_fingerprints(train, n, tokens_col, id_col)
+    return _overlap_report(grams, bench_fps, id_col, min_matches, broadcast)
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -79,31 +160,8 @@ def decontaminate(
     Join the result's ids back with a broadcast anti-join to drop
     flagged docs; ``plans/curation.py`` composes exactly that.
     """
-    if min_matches < 0:
-        raise ValueError(f"min_matches must be >= 0, got {min_matches}")
-    bench_fps = (
-        gram_fingerprints(
-            benchmark, n, bench_text_col or text_col, bench_id_col or id_col
-        )
-        .select("gram_fp")
-        .distinct()
-        .withColumn("_bench_hit", F.lit(1))
+    bench_fps = gram_fingerprints(
+        benchmark, n, bench_text_col or text_col, bench_id_col or id_col
     )
-    if broadcast:
-        bench_fps = F.broadcast(bench_fps)
     grams = gram_fingerprints(train, n, text_col, id_col)
-    report = (
-        grams.join(bench_fps, "gram_fp", "left")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("_bench_hit").alias("matched_grams"),
-        )
-        .withColumn(
-            "contamination", F.col("matched_grams") / F.col("n_grams")
-        )
-        .withColumnRenamed("id", id_col)
-    )
-    if min_matches > 0:
-        report = report.where(F.col("matched_grams") >= min_matches)
-    return report
+    return _overlap_report(grams, bench_fps, id_col, min_matches, broadcast)

@@ -125,6 +125,64 @@ def test_bad_params_raise(spark, frames):
         decontaminate(train, bench, min_matches=-1)
 
 
+def _tok_docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "tokens"])
+    )
+
+
+def _py_tok_grams(tokens: list[int], n: int) -> set[tuple]:
+    if len(tokens) < n:
+        return {tuple(tokens)}
+    return {tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+TOK_BENCH = [(100, [1, 2, 3, 4, 5, 6]), (101, [9, 9, 9])]
+TOK_TRAIN = [
+    (1, [7, 7, 2, 3, 4, 8, 8]),  # contains bench 3-gram (2,3,4)
+    (2, [4, 3, 2, 1, 6, 5]),     # same values, no ordered 3-gram run
+    (3, [1, 2, 3, 4, 5, 6]),     # exact copy
+    (4, [9, 9]),                 # short, not a bench gram itself
+]
+
+
+def test_token_report_matches_python_oracle(spark):
+    train, bench = _tok_docs(spark, TOK_TRAIN), _tok_docs(spark, TOK_BENCH)
+    from logtrics_spark.operators.decontam import decontaminate_tokens
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate_tokens(train, bench, n=3, min_matches=0).collect()
+    }
+    bench_grams = set().union(*(_py_tok_grams(t, 3) for _, t in TOK_BENCH))
+    for doc_id, toks in TOK_TRAIN:
+        grams = _py_tok_grams(toks, 3)
+        matched = len(grams & bench_grams)
+        assert got[doc_id]["n_grams"] == len(grams), doc_id
+        assert got[doc_id]["matched_grams"] == matched, doc_id
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate_tokens(train, bench, n=3).collect()
+    }
+    assert flagged == {1, 3}
+
+
+def test_token_plan_no_shuffle_before_groupby(spark):
+    """Gram extraction is one array-HOF projection: the only exchange
+    in the plan is the per-doc aggregate (plus the broadcast), never a
+    window/sort over exploded tokens."""
+    from logtrics_spark.operators.decontam import decontaminate_tokens
+
+    train, bench = _tok_docs(spark, TOK_TRAIN), _tok_docs(spark, TOK_BENCH)
+    plan = (
+        decontaminate_tokens(train, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "Sort" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_plan_broadcast_and_no_python(spark, frames):
     """The scale contract: benchmark side broadcast, no Python stages,
     no cartesian product."""
