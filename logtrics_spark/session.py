@@ -26,18 +26,31 @@ def get_spark(
     On a real cluster the caller passes master/None via spark-submit and
     these confs still apply.
     """
+    # Under spark-submit a JVM gateway already exists and carries the
+    # submitted --master / --conf: setting .master() here would silently
+    # override `spark-submit --master` (measured: --master local[3] ran
+    # local[32]), breaking the north rule's N vs 4N executor runs.  The
+    # gateway env var is the precise launched-by-submit signal; defer to
+    # the submitted conf unless the caller passed explicit values.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None:
+    if master is None and not under_submit:
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not under_submit:
         # Rule of thumb: 2-3x the core count locally; on a cluster this is
-        # overridden per-job (AQE coalesces down when partitions are small).
+        # set via spark-submit --conf (AQE coalesces when partitions are
+        # small anyway).
         shuffle_partitions = max(2 * cpus, 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         # AQE: runtime coalescing of small shuffle partitions and skew-join
         # splitting. At 100 TB the static partition count is always wrong
         # for some stage; AQE fixes it from runtime stats.
