@@ -51,12 +51,19 @@ def main() -> None:
         # scaling studies; the study uses explicit partition counts
         extra["spark.sql.adaptive.enabled"] = "false"
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
-    spark = get_spark(
-        app_name=f"pipeline-bench-{cpus}",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 8),
-        extra_conf=extra,
-    )
+    if os.environ.get("BENCH_VIA_SUBMIT") == "1":
+        # launched by spark-submit (bench/scaling.py --submit): master,
+        # shuffle partitions, and driver memory arrive on the submit
+        # command line — the north rule's literal launch mode — and
+        # get_spark defers to them (session.py's under-submit path)
+        spark = get_spark(app_name=f"pipeline-bench-{cpus}", extra_conf=extra)
+    else:
+        spark = get_spark(
+            app_name=f"pipeline-bench-{cpus}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(2 * cpus, 8),
+            extra_conf=extra,
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     store = tempfile.mkdtemp(prefix=f"scalebench_{cpus}_", dir=store_base)

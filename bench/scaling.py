@@ -38,15 +38,31 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def run_level(cpus: int, rows: int) -> dict:
+def run_level(cpus: int, rows: int, via_submit: bool = False) -> dict:
     env = dict(
         os.environ,
         BENCH_CPUS=str(cpus),
         BENCH_ROWS=str(rows),
         BENCH_TOKEN_CAP="8",
     )
+    if via_submit:
+        # the north rule's literal launch mode: spark-submit --py-files
+        # with explicit master / partition counts on the command line
+        # (pass --submit to scaling.py; requires dist/logtrics_spark.zip
+        # — built automatically below)
+        env["BENCH_VIA_SUBMIT"] = "1"
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{cpus}]",
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "32g"),
+            "--conf", f"spark.sql.shuffle.partitions={max(2 * cpus, 8)}",
+            "--py-files", os.path.join(REPO, "dist", "logtrics_spark.zip"),
+            os.path.join(HERE, "pipeline_bench.py"),
+        ]
+    else:
+        cmd = [sys.executable, os.path.join(HERE, "pipeline_bench.py")]
     out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "pipeline_bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -56,15 +72,22 @@ def run_level(cpus: int, rows: int) -> dict:
 
 
 def main() -> None:
-    rows = int(float(sys.argv[1])) if len(sys.argv) > 1 else 32_000_000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    lo_c = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    hi_c = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    args = [a for a in sys.argv[1:] if a != "--submit"]
+    via_submit = "--submit" in sys.argv[1:]
+    rows = int(float(args[0])) if len(args) > 0 else 32_000_000
+    repeats = int(args[1]) if len(args) > 1 else 1
+    lo_c = int(args[2]) if len(args) > 2 else 2
+    hi_c = int(args[3]) if len(args) > 3 else 8
     assert hi_c == 4 * lo_c, "levels must be N vs 4N"
+    if via_submit:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from package_pyfiles import build
+
+        build()  # refresh dist/logtrics_spark.zip from the current tree
     best: dict[int, dict] = {}
     for _ in range(repeats):
         for cpus in (lo_c, hi_c):
-            r = run_level(cpus, rows)
+            r = run_level(cpus, rows, via_submit=via_submit)
             print(json.dumps(r), flush=True)
             if cpus not in best or r["points_per_sec"] > best[cpus]["points_per_sec"]:
                 best[cpus] = r
