@@ -16,7 +16,13 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# under spark-submit (scaling.py --submit) the package must come from
+# the --py-files zip — adding the repo tree would shadow it and quietly
+# stop evidencing that the shipped artifact is self-contained
+if os.environ.get("BENCH_VIA_SUBMIT") != "1":
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
 
 def main() -> None:

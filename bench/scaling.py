@@ -51,6 +51,10 @@ def run_level(cpus: int, rows: int, via_submit: bool = False) -> dict:
         # (pass --submit to scaling.py; requires dist/logtrics_spark.zip
         # — built automatically below)
         env["BENCH_VIA_SUBMIT"] = "1"
+        # pin the driver/worker interpreter to the one running this
+        # script: bare `python3` from PATH may lack pyspark/numpy or
+        # mismatch the worker version (same pin test_submit.py uses)
+        env.setdefault("PYSPARK_PYTHON", sys.executable)
         cmd = [
             "spark-submit",
             "--master", f"local[{cpus}]",

@@ -20,8 +20,11 @@ Scale shape (the 100 TB story):
   gram stream joins map-side with zero shuffle.  Pass
   ``broadcast=False`` for an unusually large benchmark set and the
   join falls back to a shuffled hash join on the 8-byte key.
-- The only corpus shuffle is the per-doc groupBy, which map-side
-  combines to one row per (doc, task) before the exchange.
+- One corpus shuffle end-to-end: the text path's shingle window
+  partitions by doc id and both the distinct and the per-doc agg reuse
+  that partitioning; the token path dedups grams inside the array
+  (``array_distinct``, no exchange) so the per-doc agg's exchange is
+  the only one.
 
 Fingerprint caveat: matching is on 64-bit hashes, so two different
 grams colliding would over-flag (P ~ 2^-64 per pair — negligible at
@@ -48,7 +51,17 @@ def gram_fingerprints(
     """
     if n < 1:
         raise ValueError(f"n-gram size must be >= 1, got {n}")
+    # null/whitespace-only text carries no grams: such docs are absent
+    # from the report (documented in decontaminate) rather than matching
+    # other empty docs through a degenerate '' gram
+    df = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
     rows = _shingle_rows(df, text_col, id_col, n)
+    # the distinct reuses the id-partitioning _shingle_rows' window just
+    # established (id is a subset of the (id, gram_fp) clustering), so
+    # this adds no exchange — and the downstream per-doc agg reuses it
+    # again: one corpus shuffle total, as documented
     return rows.select("id", F.xxhash64("sh").alias("gram_fp")).distinct()
 
 
@@ -67,14 +80,25 @@ def token_gram_fingerprints(
     """
     if n < 1:
         raise ValueError(f"n-gram size must be >= 1, got {n}")
+    # null/empty sequences carry no grams (a NULL array would otherwise
+    # hash to the xxhash64 seed constant and spuriously "match" other
+    # null rows); such docs are absent from the report (documented)
+    df = df.where(
+        F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0)
+    )
     toks = F.col(tokens_col)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
     ).otherwise(F.array(F.lit(1)))
     grams = F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i, n)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram_fp"))
-        .distinct()
+    # per-doc dedup INSIDE the array (array_distinct) — unlike a row
+    # .distinct(), which would be a corpus-wide exchange on
+    # (id, gram_fp) that the later per-doc agg could not reuse: this
+    # keeps the whole gram stage shuffle-free, so the per-doc agg's
+    # exchange is the only corpus shuffle (the documented contract)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("gram_fp"),
     )
 
 
@@ -154,8 +178,10 @@ def decontaminate(
     where ``n_grams`` is the doc's distinct-gram count,
     ``matched_grams`` how many of those appear in the benchmark set,
     and ``contamination`` their ratio.  ``min_matches=0`` returns every
-    training doc (clean docs carry ``matched_grams = 0``) — the full
-    audit report rather than the drop list.
+    training doc WITH CONTENT (clean docs carry ``matched_grams = 0``)
+    — the full audit report rather than the drop list; docs whose text
+    is null/whitespace-only (token path: null/empty array) have no
+    grams and are absent from the report.
 
     Join the result's ids back with a broadcast anti-join to drop
     flagged docs; ``plans/curation.py`` composes exactly that.

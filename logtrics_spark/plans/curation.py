@@ -134,11 +134,14 @@ def curate(
     if benchmark is not None:
         # benchmark decontamination (GPT-3 appendix C practice): drop
         # any surviving doc sharing a decontam_n-gram with the eval
-        # set; the flagged-id set is tiny, so the anti-join broadcasts
+        # set; anti-join strategy left to Catalyst like the near-dedup
+        # stage above — usually a broadcast (flagged sets are small),
+        # but a heavily-contaminated corpus must not be forced through
+        # the driver
         flagged = decontaminate(
             cur, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
         ).select(id_col)
-        cur = _n("decontam", cur.join(F.broadcast(flagged), id_col, "left_anti"))
+        cur = _n("decontam", cur.join(flagged, id_col, "left_anti"))
 
     if sample_rates:
         cur = _n(

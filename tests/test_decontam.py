@@ -168,9 +168,10 @@ def test_token_report_matches_python_oracle(spark):
 
 
 def test_token_plan_no_shuffle_before_groupby(spark):
-    """Gram extraction is one array-HOF projection: the only exchange
-    in the plan is the per-doc aggregate (plus the broadcast), never a
-    window/sort over exploded tokens."""
+    """Gram extraction is one array-HOF projection (per-doc dedup via
+    array_distinct, not a row distinct): the ONLY shuffle exchange in
+    the plan is the per-doc aggregate — plus the benchmark broadcast —
+    never a window/sort/distinct over exploded tokens."""
     from logtrics_spark.operators.decontam import decontaminate_tokens
 
     train, bench = _tok_docs(spark, TOK_TRAIN), _tok_docs(spark, TOK_BENCH)
@@ -181,6 +182,33 @@ def test_token_plan_no_shuffle_before_groupby(spark):
     assert "Window" not in plan and "Sort" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus side: exactly one exchange (the per-doc agg).  The
+    # BroadcastExchange subtree (printed after it) holds the benchmark
+    # set's own tiny distinct exchange, which is fine.
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert corpus_side.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_null_and_empty_content_absent_from_report(spark):
+    """Null/whitespace-only text and null/empty token arrays carry no
+    grams: absent from the min_matches=0 report, and two empty docs
+    never 'match' each other through a degenerate gram."""
+    from logtrics_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_tokens,
+    )
+
+    train = _docs(spark, [(1, None), (2, "   "), (3, "real words here")])
+    bench = _docs(spark, [(9, None), (8, "   ")])
+    rep = decontaminate(train, bench, n=2, min_matches=0).collect()
+    assert {r["doc_id"] for r in rep} == {3}
+    assert rep[0]["matched_grams"] == 0
+
+    ttrain = _tok_docs(spark, [(1, None), (2, []), (3, [5, 6, 7])])
+    tbench = _tok_docs(spark, [(9, None), (8, [])])
+    trep = decontaminate_tokens(ttrain, tbench, n=2, min_matches=0).collect()
+    assert {r["doc_id"] for r in trep} == {3}
+    assert trep[0]["matched_grams"] == 0
 
 
 def test_plan_broadcast_and_no_python(spark, frames):

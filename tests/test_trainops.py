@@ -586,10 +586,10 @@ def test_curation_decontam_stage(spark, docs):
     -> no 'decontam' stat and nothing dropped."""
     from logtrics_spark.plans.curation import curate
 
-    base = docs.limit(30).select("doc_id", "text", "source")
-    # benchmark = two of the corpus docs verbatim -> those two (already
-    # unique in the corpus after exact dedup) must be dropped
-    bench = base.limit(2).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 30).select("doc_id", "text", "source")
+    # benchmark = two specific corpus docs verbatim -> those two
+    # (already unique in the corpus after exact dedup) must be dropped
+    bench = base.where(F.col("doc_id").isin(0, 1)).select("doc_id", "text")
     kept, stats = curate(
         base, min_quality=None, near_dup=False, benchmark=bench, decontam_n=8
     )
