@@ -60,6 +60,17 @@ def run_level(cpus: int, rows: int, via_submit: bool = False) -> dict:
             "--master", f"local[{cpus}]",
             "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "32g"),
             "--conf", f"spark.sql.shuffle.partitions={max(2 * cpus, 8)}",
+        ]
+        if os.path.isdir("/dev/shm"):
+            # spark.local.dir is a STATIC conf: under spark-submit the JVM
+            # is already up when pipeline_bench's extra_conf reaches the
+            # builder, so it is silently ignored — it must ride the submit
+            # command line or shuffle files land on the sandbox's slow
+            # virtual disk (measured: local[32] run 296 s vs 124 s, the
+            # 32-thread level is shuffle-bound and collapses to 0.19
+            # efficiency while local[4] barely notices)
+            cmd += ["--conf", "spark.local.dir=/dev/shm/spark-local"]
+        cmd += [
             "--py-files", os.path.join(REPO, "dist", "logtrics_spark.zip"),
             os.path.join(HERE, "pipeline_bench.py"),
         ]
