@@ -6,6 +6,8 @@ cmd/logtrics/main.go's cobra CLI with config + mode flags).
     python -m logtrics_spark rollup   --input raw.parquet --store ./store
     python -m logtrics_spark graphite --store ./store --tier 1h \\
                                       --host 127.0.0.1 --port 2024
+    python -m logtrics_spark curate   --input docs.parquet --output kept/ \\
+                                      --langs en --benchmark eval.parquet
     python -m logtrics_spark config-check ./config.toml
 
 ``run`` is the daemon (the reference's primary entry point,
@@ -310,6 +312,56 @@ def _cmd_sketch(args) -> int:
     return 0
 
 
+def _cmd_curate(args) -> int:
+    """Run the composed LLM-training-data curation plan over a document
+    parquet and write the kept docs (plans/curation.py: annotate ->
+    quality/lang filters -> exact dedup -> LSH near-dedup -> optional
+    benchmark decontamination -> deterministic sampling).  Prints one
+    JSON line with the per-stage survivor counts — the audit trail a
+    data team records next to the output."""
+    sample_rates = None
+    if args.sample_rates:
+        sample_rates = {}
+        for pair in args.sample_rates.split(","):
+            key, _, rate = pair.partition("=")
+            try:
+                sample_rates[key] = float(rate)
+            except ValueError:
+                rate = ""
+            if not key or not rate:
+                print(f"invalid --sample-rates entry: {pair!r} "
+                      "(want group=rate,...)", file=sys.stderr)
+                return 1
+
+    from logtrics_spark.plans.curation import curate
+
+    spark, own = _get_session("logtrics-curate")
+    docs = spark.read.parquet(args.input)
+    benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    kept, stats = curate(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_quality=args.min_quality if args.min_quality > 0 else None,
+        langs=args.langs.split(",") if args.langs else None,
+        near_dup=not args.no_near_dup,
+        jaccard_threshold=args.jaccard,
+        benchmark=benchmark,
+        decontam_n=args.decontam_n,
+        sample_rate=args.sample_rate,
+        sample_rates=sample_rates,
+        sample_by=args.sample_by,
+        collect_stats=not args.no_stats,
+    )
+    kept.write.mode(args.output_mode).parquet(args.output)
+    written = spark.read.parquet(args.output).count()
+    print(json.dumps({"stages": stats, "written": written,
+                      "output": args.output}))
+    if own:
+        spark.stop()
+    return 0
+
+
 def _cmd_config_check(args) -> int:
     from logtrics_spark.config import ConfigError, load_toml
 
@@ -415,6 +467,40 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=50)
     q.add_argument("--config", help="deployment TOML (for [sketches] merge params)")
     q.set_defaults(fn=_cmd_sketch)
+
+    cu = sub.add_parser(
+        "curate",
+        help="LLM-training-data curation: filter -> dedup -> decontam -> sample",
+    )
+    cu.add_argument("--input", required=True,
+                    help="documents parquet (needs id + text columns)")
+    cu.add_argument("--output", required=True,
+                    help="parquet dir for the kept documents")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--min-quality", type=float, default=0.3,
+                    help="drop docs below this quality score; <=0 disables")
+    cu.add_argument("--langs",
+                    help="comma-separated allowed langs (default: keep all)")
+    cu.add_argument("--no-near-dup", action="store_true",
+                    help="skip the MinHash-LSH near-dedup stage")
+    cu.add_argument("--jaccard", type=float, default=0.8,
+                    help="near-dup n-gram Jaccard threshold")
+    cu.add_argument("--benchmark",
+                    help="eval-set parquet: drop docs sharing an n-gram with it")
+    cu.add_argument("--decontam-n", type=int, default=13,
+                    help="decontamination n-gram length")
+    cu.add_argument("--sample-rate", type=float,
+                    help="deterministic keep rate over the survivors")
+    cu.add_argument("--sample-rates",
+                    help="stratified rates, e.g. web=0.5,code=1.0")
+    cu.add_argument("--sample-by", default="source",
+                    help="stratification column for --sample-rates")
+    cu.add_argument("--no-stats", action="store_true",
+                    help="skip per-stage survivor counts (fully lazy plan)")
+    cu.add_argument("--output-mode", default="error",
+                    choices=["error", "overwrite"])
+    cu.set_defaults(fn=_cmd_curate)
 
     c = sub.add_parser("config-check", help="validate a reference-shaped TOML")
     c.add_argument("path")

@@ -104,3 +104,52 @@ def test_cli_read_range(spark, tmp_path, capsys):
     assert main(args + ["--out", out_dir]) == 0
     assert "wrote" in capsys.readouterr().out
     assert spark.read.parquet(out_dir).count() == len(live)
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """`curate` runs the composed curation plan over a documents parquet:
+    planted exact dupes drop, the audit JSON reports monotone stage
+    counts, the output parquet matches the reported row count, and a
+    malformed --sample-rates fails fast with rc 1."""
+    import pandas as pd
+
+    texts = [
+        f"the quick brown fox jumps over the lazy dog number {i} "
+        f"while the band plays on and the river runs past the mill"
+        for i in range(12)
+    ]
+    docs = pd.DataFrame({
+        "doc_id": list(range(12)) + [100, 101, 102],
+        "text": texts + texts[:3],  # 3 exact copies under new ids
+        "source": (["web", "code"] * 8)[:15],
+    })
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs).write.parquet(inp)
+    out = str(tmp_path / "kept")
+
+    rc = main([
+        "curate", "--input", inp, "--output", out,
+        "--min-quality", "0", "--no-near-dup",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"]["input"] == 15
+    assert rep["stages"]["exact_dedup"] == 12
+    kept = spark.read.parquet(out)
+    assert kept.count() == rep["written"] == 12
+    assert {"quality", "lang"} <= set(kept.columns)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert not ids & {100, 101, 102}
+
+    # default --output-mode error refuses to clobber an existing output
+    with pytest.raises(Exception):
+        main(["curate", "--input", inp, "--output", out,
+              "--min-quality", "0", "--no-near-dup"])
+
+    # malformed stratified rates fail before any Spark work
+    rc = main([
+        "curate", "--input", inp, "--output", str(tmp_path / "k2"),
+        "--sample-rates", "web-0.5",
+    ])
+    assert rc == 1
+    assert "invalid --sample-rates" in capsys.readouterr().err
