@@ -426,12 +426,39 @@ def q_distinct_users_1h(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup groups keyed by content hash (md5 for oracle parity)."""
+    """Exact dedup in two parts: 'doc' = whole-document dedup groups
+    keyed by content hash (md5 for oracle parity); 'paragraph' =
+    corpus-level paragraph dedup (operators/dedup.py dedup_paragraphs,
+    the C4 §2.2 span-dedup practice) — every cross-corpus duplicate
+    paragraph survives only at its first (id, pos) occurrence and the
+    documents are reassembled in order.  The corpus is single-line word
+    soup, so 'paragraphs' are synthesized by splitting on the literal
+    token ' merge ' and rejoined with ' <p> ' — both engines split and
+    join with the same literals, so the oracle is exact."""
+    from logtrics_spark.operators.dedup import dedup_paragraphs
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
+    doc_part = (
         docs.groupBy(F.md5("text").alias("fp"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .select(
+            F.lit("doc").alias("part"),
+            "fp",
+            "keep_id",
+            "dup_count",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("new_text"),
+        )
     )
+    para_part = dedup_paragraphs(docs, sep=" merge ", joiner=" <p> ").select(
+        F.lit("paragraph").alias("part"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("dup_count"),
+        "doc_id",
+        F.col("text").alias("new_text"),
+    )
+    return doc_part.unionByName(para_part)
 
 
 def q_quality_score(spark, sf_dir):
@@ -1425,15 +1452,33 @@ def q_text_extract_stats(spark, sf_dir):
     operators/decontam.py — the oracle rebuilds the same grams with
     DuckDB string ops and joins on the gram STRINGS, so the hash match
     also certifies the xxhash64 fingerprint path is collision-free
-    here."""
+    here.  Part 'gopher' carries the Gopher A1.1 quality rules
+    (operators/text.py: word count, mean word length, distinct required
+    stop words, top-2-gram character fraction, and the composed keep
+    flag at the paper's thresholds) — the line-level rules are
+    degenerate on this single-line corpus and are pinned in
+    tests/test_text_quality.py instead."""
     from logtrics_spark.operators.decontam import decontaminate
-    from logtrics_spark.operators.text import punct_ratio, whitespace_token_count
+    from logtrics_spark.operators.text import (
+        gopher_stop_hits,
+        mean_word_length,
+        punct_ratio,
+        top_ngram_char_frac,
+        whitespace_token_count,
+        word_count,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     _null_decontam = [
         F.lit(None).cast("long").alias("n_grams"),
         F.lit(None).cast("long").alias("matched_grams"),
         F.lit(None).cast("double").alias("contamination"),
+    ]
+    _null_gopher = [
+        F.lit(None).cast("double").alias("mean_word_len"),
+        F.lit(None).cast("long").alias("stop_hits"),
+        F.lit(None).cast("double").alias("top2_frac"),
+        F.lit(None).cast("int").alias("keep"),
     ]
     pat = r"(qu[a-z]+)"
     ext = docs.where(F.col("text").rlike(pat)).select(
@@ -1443,6 +1488,7 @@ def q_text_extract_stats(spark, sf_dir):
         F.lit(None).cast("long").alias("n_ws_tokens"),
         F.lit(None).cast("double").alias("punct_ratio"),
         *_null_decontam,
+        *_null_gopher,
     )
     stats = docs.select(
         F.lit("stats").alias("part"),
@@ -1451,6 +1497,44 @@ def q_text_extract_stats(spark, sf_dir):
         whitespace_token_count("text").cast("long").alias("n_ws_tokens"),
         _q(punct_ratio("text"), 6).alias("punct_ratio"),
         *_null_decontam,
+        *_null_gopher,
+    )
+    top2 = top_ngram_char_frac(docs, 2).select(
+        "doc_id", F.col("frac").alias("_top2")
+    )
+    gop = (
+        docs.join(top2, "doc_id")
+        .select(
+            "doc_id",
+            word_count("text").cast("long").alias("_nw"),
+            mean_word_length("text").alias("_mwl"),
+            gopher_stop_hits("text").cast("long").alias("_stops"),
+            F.col("_top2"),
+        )
+        .select(
+            F.lit("gopher").alias("part"),
+            "doc_id",
+            F.lit(None).cast("string").alias("first_qu"),
+            F.col("_nw").alias("n_ws_tokens"),
+            F.lit(None).cast("double").alias("punct_ratio"),
+            *_null_decontam,
+            _q(F.col("_mwl"), 6).alias("mean_word_len"),
+            F.col("_stops").alias("stop_hits"),
+            _q(F.col("_top2"), 6).alias("top2_frac"),
+            # min_stop_hits relaxed to 1 for THIS corpus: its vocabulary
+            # carries only 'the' from the required-word list, so the
+            # paper's >=2 would make the flag constant-zero (no oracle
+            # variance); the >=2 default is pinned in pytest instead
+            (
+                (F.col("_nw") >= 50)
+                & (F.col("_mwl") >= 3.0)
+                & (F.col("_mwl") <= 10.0)
+                & (F.col("_stops") >= 1)
+                & (F.col("_top2") <= 0.2)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
     )
     dec = decontaminate(
         docs.where(F.col("doc_id") % 10 != 7),
@@ -1465,8 +1549,9 @@ def q_text_extract_stats(spark, sf_dir):
         "n_grams",
         "matched_grams",
         "contamination",
+        *_null_gopher,
     )
-    return ext.unionByName(stats).unionByName(dec)
+    return ext.unionByName(stats).unionByName(dec).unionByName(gop)
 
 
 def q_similarity_ivf_append(spark, sf_dir):
@@ -1723,14 +1808,47 @@ def oracle_sql() -> dict[str, str]:
                      count(bench.g) AS matched_grams
               FROM (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 7) tr
               LEFT JOIN bench ON tr.g = bench.g
-              GROUP BY 1)
+              GROUP BY 1),
+            g2 AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+              FROM toks, unnest(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2),
+            gcnt AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+            gtop AS (
+              SELECT doc_id, cnt, min(g) AS g FROM (
+                SELECT doc_id, g, cnt,
+                       max(cnt) OVER (PARTITION BY doc_id) AS m
+                FROM gcnt)
+              WHERE cnt = m GROUP BY 1, 2),
+            gop AS (
+              SELECT d.doc_id,
+                     len(regexp_split_to_array(trim(d.text), '\s+')) AS nw,
+                     length(regexp_replace(d.text, '\s+', '', 'g'))
+                       / CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE) AS mwl,
+                     (CASE WHEN regexp_matches(d.text, '(?i)\bthe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(d.text, '(?i)\bbe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(d.text, '(?i)\bto\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(d.text, '(?i)\bof\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(d.text, '(?i)\band\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(d.text, '(?i)\bthat\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(d.text, '(?i)\bhave\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(d.text, '(?i)\bwith\b') THEN 1 ELSE 0 END
+                     ) AS stops,
+                     CASE WHEN t.cnt IS NOT NULL AND length(d.text) > 0
+                          THEN t.cnt * length(t.g) / CAST(length(d.text) AS DOUBLE)
+                          ELSE 0.0 END AS top2
+              FROM documents d LEFT JOIN gtop t USING (doc_id))
             SELECT 'extract' AS part, doc_id,
                    regexp_extract(text, '(qu[a-z]+)', 1) AS first_qu,
                    CAST(NULL AS BIGINT) AS n_ws_tokens,
                    CAST(NULL AS DOUBLE) AS punct_ratio,
                    CAST(NULL AS BIGINT) AS n_grams,
                    CAST(NULL AS BIGINT) AS matched_grams,
-                   CAST(NULL AS DOUBLE) AS contamination
+                   CAST(NULL AS DOUBLE) AS contamination,
+                   CAST(NULL AS DOUBLE) AS mean_word_len,
+                   CAST(NULL AS BIGINT) AS stop_hits,
+                   CAST(NULL AS DOUBLE) AS top2_frac,
+                   CAST(NULL AS INTEGER) AS keep
             FROM documents WHERE regexp_matches(text, '(qu[a-z]+)')
             UNION ALL
             SELECT 'stats', doc_id, CAST(NULL AS VARCHAR),
@@ -1738,14 +1856,28 @@ def oracle_sql() -> dict[str, str]:
                    floor((CASE WHEN length(text) > 0 THEN
                        (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
                        / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 1000000.0 + 0.5 + 1e-6) / 1000000.0,
-                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
             FROM documents
             UNION ALL
             SELECT 'decontam', doc_id, CAST(NULL AS VARCHAR),
                    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                    n_grams, matched_grams,
-                   matched_grams / CAST(n_grams AS DOUBLE)
+                   matched_grams / CAST(n_grams AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
             FROM rep WHERE matched_grams >= 1
+            UNION ALL
+            SELECT 'gopher', doc_id, CAST(NULL AS VARCHAR),
+                   CAST(nw AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   floor(mwl * 1000000.0 + 0.5 + 1e-6) / 1000000.0,
+                   CAST(stops AS BIGINT),
+                   floor(top2 * 1000000.0 + 0.5 + 1e-6) / 1000000.0,
+                   CAST((nw >= 50 AND mwl >= 3.0 AND mwl <= 10.0
+                         AND stops >= 1 AND top2 <= 0.2) AS INTEGER)
+            FROM gop
         """,
         "tokseq_tiers": _tokseq_tiers_sql(),
         # both IVF shapes degenerate to the exact top-k at nprobe == C,
@@ -1881,8 +2013,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "dedup_exact": """
-            SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
-            FROM documents GROUP BY 1
+            WITH paras AS (
+              SELECT doc_id, i - 1 AS pos, l[i] AS para
+              FROM (SELECT doc_id, string_split(text, ' merge ') AS l
+                    FROM documents),
+                   unnest(range(1, len(l) + 1)) AS u(i)),
+            ranked AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM paras),
+            rebuilt AS (
+              SELECT doc_id, string_agg(para, ' <p> ' ORDER BY pos) AS new_text
+              FROM ranked WHERE rn = 1 GROUP BY 1)
+            SELECT 'doc' AS part, md5(text) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS dup_count, CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS new_text
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'paragraph', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), d.doc_id, COALESCE(r.new_text, '')
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "quality_score": r"""
             WITH f AS (

@@ -95,6 +95,67 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return exact_dedup(df, text_col, id_col).where(F.col("dup_count") > 1)
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n{2,}",
+    joiner: str = "\n\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Corpus-level paragraph dedup — the C4 §2.2 "three-sentence span"
+    / RefinedWeb line-dedup practice at paragraph granularity: every
+    paragraph that occurs more than once ACROSS THE CORPUS survives
+    only at its first occurrence (ordered by (id, position)); all later
+    occurrences are cut out of their documents, and the survivors are
+    reassembled in original order.
+
+    Exact semantics pinned for the oracle: paragraphs are the ``sep``
+    regex split of the text; equality is exact string match (the
+    shuffle key is the 8-byte xxhash64, but the groupBy key is the
+    paragraph itself so hash collisions cannot merge distinct
+    paragraphs); paragraphs shorter than ``min_chars`` are exempt
+    (kept everywhere, never treated as duplicates — C4 exempts short
+    spans the same way); documents whose every paragraph is cut come
+    back with empty text rather than disappearing.
+
+    Scale shape: one explode pass; the min-(id,pos) winner per
+    paragraph comes from a partial-aggregated groupBy; reassembly is a
+    groupBy on the doc id with sort_array over (pos, paragraph) — the
+    only stage that carries paragraph text is the one that has to
+    rebuild documents.  Nothing is quadratic and nothing lands on the
+    driver.
+
+    Returns (id_col, text_col) with the deduped text.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = paras.where(F.length("para") >= min_chars) if min_chars > 0 else paras
+    first = eligible.groupBy("para").agg(
+        F.min(F.struct("id", "pos")).alias("first_occ")
+    )
+    kept = paras.join(first, "para", "left").where(
+        F.col("first_occ").isNull()
+        | ((F.col("id") == F.col("first_occ.id")) & (F.col("pos") == F.col("first_occ.pos")))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias("_text")
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("_text", F.lit("")).alias(text_col),
+    )
+
+
 # ----------------------------------------------------------- shingles
 
 

@@ -7,6 +7,8 @@ trail:
 
     annotate   quality_score + language_id     one projection, JVM-only
     filter     min quality / allowed langs     pushed predicates
+    gopher     Rae et al. 2021 A1.1 rules      doc-local Catalyst pred +
+               (opt-in)                        n-gram repetition passes
     exact      one keeper per identical text   8-byte-fingerprint groupBy
     near-dup   MinHash LSH -> exact-Jaccard    banded join, candidate-
                verify -> connected components  only verification
@@ -39,7 +41,12 @@ from logtrics_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from logtrics_spark.operators.sample import deterministic_sample, stratified_mix
-from logtrics_spark.operators.text import language_id, quality_score
+from logtrics_spark.operators.text import (
+    gopher_keep,
+    gopher_repetition_keep,
+    language_id,
+    quality_score,
+)
 
 
 def curate(
@@ -48,6 +55,10 @@ def curate(
     id_col: str = "doc_id",
     min_quality: float | None = 0.3,
     langs: list[str] | None = None,
+    gopher: bool = False,
+    gopher_opts: dict | None = None,
+    gopher_top_ns: dict[int, float] | None = None,
+    gopher_dup_ns: dict[int, float] | None = None,
     near_dup: bool = True,
     jaccard_threshold: float = 0.8,
     num_hashes: int = 64,
@@ -88,6 +99,22 @@ def curate(
         cur = _n("quality_filter", cur.where(F.col("quality") >= min_quality))
     if langs:
         cur = _n("lang_filter", cur.where(F.col("lang").isin(langs)))
+
+    if gopher:
+        # Gopher A1.1 rules: the doc-local predicate is one pushed
+        # Catalyst filter on the same scan; the n-gram repetition rules
+        # each cost one explode+groupBy pass (paper defaults: n=2..4
+        # top-gram + n=5..10 duplicated-gram — pass smaller dicts, or
+        # {} {} to disable, when scan count matters more than coverage)
+        cur = _n(
+            "gopher_filter",
+            cur.where(gopher_keep(F.col(text_col), **(gopher_opts or {}))),
+        )
+        if gopher_top_ns != {} or gopher_dup_ns != {}:
+            rep_keep = gopher_repetition_keep(
+                cur, text_col, id_col, top_ns=gopher_top_ns, dup_ns=gopher_dup_ns
+            )
+            cur = _n("gopher_repetition", cur.join(rep_keep, id_col, "left_semi"))
 
     # exact dedup: one keeper (min id) per identical text — the shuffle
     # carries (fp64, id), never the documents
