@@ -495,13 +495,21 @@ def q_similarity_ivf(spark, sf_dir):
     applies while the full machinery executes.  Part 'inflight' is the
     one-shot join (centroid training, pandas_udf assignment, probe
     join); part 'store' is the persistent index (assignment write under
-    ``cid=`` partitions, centroid table, partition-pruned probe scan).
-    Approximate recall at nprobe < C is pinned by
-    tests/test_trainops.py."""
+    ``cid=`` partitions, centroid table, partition-pruned probe scan);
+    part 'pq' is the IVF-PQ store (residual product-quantization codes,
+    driver-built ADC lookup tables, pure-Catalyst code-array ranking)
+    queried with nprobe == C and an exhaustive IVFADC+R refine
+    (refine_factor covers the corpus), so the exact same brute-force
+    oracle applies while encode -> LUT -> candidate scan -> exact
+    re-rank all execute for real.  Approximate recall at nprobe < C
+    (and PQ recall with/without refine) is pinned by
+    tests/test_trainops.py and tests/test_pq.py."""
     from logtrics_spark.operators.similarity import (
         build_ivf_index,
+        build_ivfpq_index,
         ivf_topk,
         query_ivf_index,
+        query_ivfpq_index,
     )
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -522,7 +530,25 @@ def q_similarity_ivf(spark, sf_dir):
     path = f"/tmp/spark_graft_ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}"
     build_ivf_index(embs, path, n_centroids=8)
     store = query_ivf_index(spark, path, qs, k=5, nprobe=8)
-    return shape(inflight, "inflight").unionByName(shape(store, "store"))
+    pq_path = f"/tmp/spark_graft_ivfpq_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    build_ivfpq_index(embs, pq_path, n_centroids=8, m=4, ks=64)
+    # refine_factor x k must cover the corpus for the exact-oracle
+    # degeneracy; the PQ stage only generates candidates here
+    n_corpus = embs.count()
+    pq = query_ivfpq_index(
+        spark,
+        pq_path,
+        qs,
+        k=5,
+        nprobe=8,
+        refine_with=embs,
+        refine_factor=(n_corpus // 5) + 1,
+    )
+    return (
+        shape(inflight, "inflight")
+        .unionByName(shape(store, "store"))
+        .unionByName(shape(pq, "pq"))
+    )
 
 
 def q_asof_gauge(spark, sf_dir):
@@ -1888,6 +1914,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'store', query_id, id, cosine, rank
             FROM ({_IVF_RANKED_SQL}) b
+            UNION ALL
+            SELECT 'pq', query_id, id, cosine, rank
+            FROM ({_IVF_RANKED_SQL}) c
         """,
         "similarity_ivf_append": _IVF_RANKED_SQL,
         "moving_avg_1h": """

@@ -491,3 +491,296 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------------ IVF-PQ
+# Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI) on top of the IVF store:
+# residuals (vector - assigned coarse centroid) are split into M
+# subspaces and each subvector is replaced by the id of its nearest
+# codeword in a per-subspace Ks-entry codebook, so a stored vector is M
+# small ints + its norm instead of dim floats — at dim=768/M=96 that is
+# ~32x less index I/O, which is what a 100 TB embedding corpus needs.
+# Query-time ranking is ADC (asymmetric distance computation): per query
+# a (M x Ks) inner-product lookup table is built ONCE driver-side
+# (tiny), broadcast, and the pruned index scan sums M table lookups per
+# row in PURE Catalyst (aggregate over sequence — no Python in the
+# scan).  cosine_hat = (q·centroid + sum_m LUT[m][code_m]) / (|q||v|),
+# with |v| stored exactly at build time.  Optional IVFADC+R refinement
+# re-ranks the top candidates against the ORIGINAL vectors.
+
+
+def _subspace_dims(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by M={m} subspaces")
+    return dim // m
+
+
+def train_pq_codebooks(
+    residuals: DataFrame,
+    m: int = 8,
+    ks: int = 256,
+    vec_col: str = "r",
+    sample_rows: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on a bounded driver sample.
+
+    Returns ``(m, ks, dim/m)`` float64 codebooks.  Sampling follows the
+    same discipline as :func:`train_centroids` (seeded Bernoulli across
+    ALL partitions, then a seeded driver subsample — never a bare
+    ``limit``, which would train the codebooks on one corpus corner).
+    Codebook training cost is driver-side numpy over ``sample_rows``
+    rows regardless of corpus size; the corpus itself never collects.
+
+    Exact-regime guarantee (used by tests and the nprobe=C oracle): if
+    a subspace has <= ks DISTINCT subvectors in the sample and the
+    sample covers the corpus, each distinct subvector becomes its own
+    codeword, so quantization error is exactly zero.
+    """
+    cnt = residuals.select(vec_col).count()
+    frac = min(1.0, (2.0 * sample_rows) / max(cnt, 1))
+    sampled = residuals.select(vec_col)
+    if frac < 1.0:
+        sampled = sampled.sample(fraction=frac, seed=seed)
+    sample = np.array(sampled.toPandas()[vec_col].tolist(), dtype=np.float64)
+    if len(sample) == 0:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    if len(sample) > sample_rows:
+        keep = np.random.default_rng(seed).choice(
+            len(sample), size=sample_rows, replace=False
+        )
+        sample = sample[keep]
+    dsub = _subspace_dims(sample.shape[1], m)
+    books = np.zeros((m, ks, dsub), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    for mi in range(m):
+        sub = sample[:, mi * dsub : (mi + 1) * dsub]
+        uniq = np.unique(sub, axis=0)
+        if len(uniq) <= ks:
+            # exact regime: every distinct subvector is a codeword
+            # (pad by repeating the last so the book stays (ks, dsub))
+            books[mi, : len(uniq)] = uniq
+            books[mi, len(uniq) :] = uniq[-1]
+            continue
+        cent = sub[rng.choice(len(sub), size=ks, replace=False)]
+        for _ in range(iters):
+            d = (
+                (cent * cent).sum(1)[None, :] - 2.0 * (sub @ cent.T)
+            )  # |c|^2 - 2 s.c (|s|^2 constant per row)
+            assign = d.argmin(1)
+            for j in range(ks):
+                pts = sub[assign == j]
+                if len(pts):
+                    cent[j] = pts.mean(0)
+        books[mi] = cent
+    return books
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """pandas_udf: residual array -> array<smallint> of M codeword ids.
+
+    One (batch x Ks) distance matrix per subspace per Arrow batch —
+    same matmul shape as :func:`_nearest_centroids_udf`.
+    """
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)  # (M, Ks, dsub)
+    m, ks, dsub = books.shape
+    books_sq = (books * books).sum(axis=2)  # (M, Ks)
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def encode(r: pd.Series) -> pd.Series:
+        mat = np.stack(r.to_numpy()).astype(np.float64)  # (b, dim)
+        codes = np.empty((mat.shape[0], m), dtype=np.int16)
+        for mi in range(m):
+            sub = mat[:, mi * dsub : (mi + 1) * dsub]
+            d = books_sq[mi][None, :] - 2.0 * (sub @ books[mi].T)
+            codes[:, mi] = d.argmin(axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    sample_rows: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize an IVF-PQ index: ``cid=``-partitioned lists holding
+    (id, nv, code) — M smallints per vector instead of dim floats —
+    plus ``centroids`` and ``codebooks`` side tables.
+
+    The coarse stage is identical to :func:`build_ivf_index` (so probes
+    prune partitions the same way); the lists just store PQ codes of
+    the RESIDUAL (v - centroid) and the exact norm |v|.  Returns
+    (centroids, codebooks).
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col=vec_col, seed=seed)
+    assigned = assign_corpus(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)),
+        centroids,
+        id_col,
+        vec_col,
+    )
+    cent_rows = pd.DataFrame(
+        {"cid": range(len(centroids)), "centroid": [c.tolist() for c in centroids]}
+    )
+    cents_df = spark.createDataFrame(cent_rows)
+    resid = assigned.join(F.broadcast(cents_df), "cid").withColumn(
+        "r", F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: a - b)
+    )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            resid, m=m, ks=ks, vec_col="r", sample_rows=sample_rows, iters=iters, seed=seed
+        )
+    encode = _pq_encode_udf(codebooks)
+    (
+        resid.select("cid", "id", "nv", encode(F.col("r")).alias("code"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
+    cents_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    mm, kk, dsub = codebooks.shape
+    book_rows = pd.DataFrame(
+        {
+            "m": [mi for mi in range(mm) for _ in range(kk)],
+            "j": [j for _ in range(mm) for j in range(kk)],
+            "vec": [codebooks[mi, j].tolist() for mi in range(mm) for j in range(kk)],
+        }
+    )
+    spark.createDataFrame(book_rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+    return centroids, codebooks
+
+
+def _load_pq_index(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cid").toPandas()
+    centroids = np.array(cents["centroid"].tolist(), dtype=np.float64)
+    books_pdf = spark.read.parquet(f"{path}/codebooks").orderBy("m", "j").toPandas()
+    mm = int(books_pdf["m"].max()) + 1
+    kk = int(books_pdf["j"].max()) + 1
+    dsub = len(books_pdf["vec"].iloc[0])
+    codebooks = np.array(books_pdf["vec"].tolist(), dtype=np.float64).reshape(
+        mm, kk, dsub
+    )
+    return centroids, codebooks
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """ADC top-k over an IVF-PQ index: (query_id, id, cosine, rank).
+
+    The probe set is collected driver-side (bounded by |queries|, the
+    same contract as :func:`query_ivf_index`); per query one (M x Ks)
+    inner-product LUT is precomputed in numpy and broadcast, and the
+    pruned partition scan ranks rows with a pure-Catalyst
+    ``aggregate(sequence(0, M-1), ...)`` over the code array — the per-
+    row work is M array lookups in the JVM, no Python.
+
+    With ``refine_with`` (the original (id, vector) corpus), the top
+    ``k * refine_factor`` ADC candidates per query are re-ranked by
+    EXACT cosine against their true vectors (IVFADC+R) — at
+    ``nprobe == C`` and ``refine_factor >= |corpus| / k`` this returns
+    the exact brute-force answer while still executing the full PQ
+    machinery, which is how the driver oracle certifies it.
+    """
+    query_id_col = query_id_col or id_col
+    centroids, books = _load_pq_index(spark, path)
+    mm, kk, dsub = books.shape
+    nprobe = min(nprobe, len(centroids))
+
+    qpdf = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .toPandas()
+    )
+    qmat = np.array(qpdf["qv"].tolist(), dtype=np.float64)  # (Q, dim)
+    if qmat.ndim != 2 or qmat.shape[1] != mm * dsub:
+        raise ValueError("query dim does not match the index's codebooks")
+    nq = np.sqrt((qmat * qmat).sum(1))
+    # probe assignment (numpy, Q x C — the probe set is small)
+    d = ((centroids * centroids).sum(1))[None, :] - 2.0 * (qmat @ centroids.T)
+    probes = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+    # per-(query, cid) rows: q . centroid
+    probe_rows = pd.DataFrame(
+        {
+            "query_id": np.repeat(qpdf["query_id"].to_numpy(), nprobe),
+            "cid": probes.ravel().astype(int),
+            "qc": np.take_along_axis(qmat @ centroids.T, probes, axis=1).ravel(),
+            "nq": np.repeat(nq, nprobe),
+        }
+    )
+    # per-query flattened (M * Ks) inner-product LUT
+    luts = np.einsum("qmd,mkd->qmk", qmat.reshape(-1, mm, dsub), books).reshape(
+        len(qmat), mm * kk
+    )
+    lut_rows = pd.DataFrame(
+        {"query_id": qpdf["query_id"].to_numpy(), "lut": [r.tolist() for r in luts]}
+    )
+    probed = sorted(set(probe_rows["cid"].tolist()))
+    lists = spark.read.parquet(f"{path}/lists").where(F.col("cid").isin(probed))
+    joined = (
+        lists.join(F.broadcast(spark.createDataFrame(probe_rows)), "cid")
+        .join(F.broadcast(spark.createDataFrame(lut_rows)), "query_id")
+        .where(F.col("id") != F.col("query_id"))
+    )
+    idx = F.sequence(F.lit(0), F.lit(mm - 1))
+    ip = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("lut"), i * kk + F.element_at(F.col("code"), i + 1) + 1),
+    )
+    cos_hat = ((F.col("qc") + ip) / (F.col("nq") * F.col("nv"))).alias("cosine")
+    scored = joined.select("query_id", "id", cos_hat).where(
+        F.col("cosine").isNotNull() & ~F.isnan("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine_with is None:
+        return ranked.where(F.col("rank") <= k)
+
+    cand = ranked.where(F.col("rank") <= k * refine_factor).select("query_id", "id")
+    truth = refine_with.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qdf = spark.createDataFrame(qpdf)  # (query_id, qv) — bounded probe set
+    exact = (
+        cand.join(truth, "id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "id",
+            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
