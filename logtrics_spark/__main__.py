@@ -362,6 +362,69 @@ def _cmd_curate(args) -> int:
     return 0
 
 
+def _cmd_tokenize(args) -> int:
+    """documents parquet -> the north-rule token table (id, tokens:
+    array<int32>, n_tok [, kept cols]) via BPE (operators/bpe.py).
+    Trains on a bounded partition-fair sample unless --model points at
+    an existing model JSON; --save-model persists the merges/vocab so
+    later runs encode with the exact same ids."""
+    import os
+
+    from logtrics_spark.operators.bpe import bpe_encode, train_bpe
+
+    spark, own = _get_session("logtrics-tokenize")
+    try:
+        docs = spark.read.parquet(args.input)
+        if args.model and os.path.exists(args.model):
+            with open(args.model) as fh:
+                raw = json.load(fh)
+            model = {
+                "merges": [tuple(p) for p in raw["merges"]],
+                "vocab": dict(raw["vocab"]),
+            }
+            trained = False
+        else:
+            model = train_bpe(
+                docs,
+                vocab_size=args.vocab_size,
+                text_col=args.text_col,
+                sample_rows=args.sample_rows,
+                seed=args.seed,
+            )
+            trained = True
+            if args.model:
+                with open(args.model, "w") as fh:
+                    json.dump(
+                        {"merges": [list(p) for p in model["merges"]],
+                         "vocab": model["vocab"]},
+                        fh,
+                    )
+        keep = [c for c in (args.keep_cols.split(",") if args.keep_cols else []) if c]
+        tok = bpe_encode(
+            docs, model, text_col=args.text_col, id_col=args.id_col, keep_cols=keep
+        )
+        tok.write.mode(args.output_mode).parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n = written.count()
+        toks = written.agg({"n_tok": "sum"}).first()[0]
+        print(
+            json.dumps(
+                {
+                    "rows": n,
+                    "total_tokens": int(toks or 0),
+                    "vocab": len(model["vocab"]),
+                    "merges": len(model["merges"]),
+                    "trained": trained,
+                    "output": args.output,
+                }
+            )
+        )
+    finally:
+        if own:
+            spark.stop()
+    return 0
+
+
 def _cmd_config_check(args) -> int:
     from logtrics_spark.config import ConfigError, load_toml
 
@@ -501,6 +564,26 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--output-mode", default="error",
                     choices=["error", "overwrite"])
     cu.set_defaults(fn=_cmd_curate)
+
+    tk = sub.add_parser(
+        "tokenize",
+        help="BPE-tokenize a document parquet into the engine's token-table shape",
+    )
+    tk.add_argument("--input", required=True, help="documents parquet path")
+    tk.add_argument("--output", required=True, help="token-table parquet path")
+    tk.add_argument("--output-mode", default="error",
+                    help="parquet save mode (default error = refuse to overwrite)")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--keep-cols", default="source",
+                    help="comma-separated passthrough columns (default source)")
+    tk.add_argument("--vocab-size", type=int, default=512)
+    tk.add_argument("--sample-rows", type=int, default=100_000,
+                    help="bounded training sample size")
+    tk.add_argument("--seed", type=int, default=42)
+    tk.add_argument("--model", default=None,
+                    help="model JSON path: loaded if it exists, else trained and saved here")
+    tk.set_defaults(fn=_cmd_tokenize)
 
     c = sub.add_parser("config-check", help="validate a reference-shaped TOML")
     c.add_argument("path")
