@@ -431,3 +431,56 @@ def gopher_repetition_keep(
         )
         keep = keep.join(ok, id_col, "left_semi")
     return keep
+
+
+# ---------------------------------------------------------------------- C4
+# Line- and document-level cleaning from Raffel et al. 2020 ("Exploring
+# the Limits of Transfer Learning with a Unified Text-to-Text
+# Transformer", JMLR — the C4 corpus recipe, §2.2), the other canonical
+# public filter set next to Gopher's.  All pure Catalyst HOFs.
+
+TERMINAL_PUNCT_RE = r'[.!?"”]$'  # period/!/?/quote (C4: "terminal punctuation")
+
+
+def c4_clean(
+    text: Column | str,
+    min_line_words: int = 5,
+    require_terminal: bool = True,
+    drop_word: str | None = "javascript",
+    joiner: str = "\n",
+) -> Column:
+    """Rebuild the text from only the lines C4 keeps: >= 5 words,
+    ending in terminal punctuation, and not containing the word
+    'javascript' (boilerplate cookie/JS warnings).  Returns the cleaned
+    text column (may be empty when nothing survives)."""
+    lines = F.split(_c(text), r"\n")
+
+    def keep(line: Column) -> Column:
+        ok = F.size(F.split(F.trim(line), r"\s+")) >= min_line_words
+        if require_terminal:
+            ok = ok & F.rtrim(line).rlike(TERMINAL_PUNCT_RE)
+        if drop_word:
+            ok = ok & ~F.lower(line).rlike(r"\b" + drop_word + r"\b")
+        return ok
+
+    return F.array_join(F.filter(lines, keep), joiner)
+
+
+def c4_keep(
+    text: Column | str,
+    min_sentences: int = 3,
+    ban_curly_brace: bool = True,
+    ban_lorem_ipsum: bool = True,
+) -> Column:
+    """The C4 document-level predicate: >= 3 sentences (terminal-punct
+    runs as the sentence proxy), no '{' (code), no 'lorem ipsum'
+    (placeholder boilerplate).  The dirty-word list from the original
+    recipe is a deployment-specific denylist and is intentionally NOT
+    shipped — pass your own via an extra ``where`` clause."""
+    c = _c(text)
+    ok = F.regexp_count(c, F.lit(r"[.!?]")) >= min_sentences
+    if ban_curly_brace:
+        ok = ok & ~c.contains("{")
+    if ban_lorem_ipsum:
+        ok = ok & ~F.lower(c).contains("lorem ipsum")
+    return ok

@@ -196,3 +196,54 @@ def ngram_counts(
         .agg(F.count("*").alias("freq"))
         .where(F.col("freq") >= min_freq)
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    max_len: int = 2048,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+    min_len: int = 1,
+) -> DataFrame:
+    """Split long token sequences into training-window chunks — the
+    complement of :func:`pack_sequences` (that packs SHORT docs into a
+    budget; this cuts LONG docs down to one).
+
+    Chunks start at 0, step, 2*step, ... where ``step = stride or
+    max_len`` — ``stride < max_len`` yields overlapping windows (the
+    GPT-2 eval convention); the default is disjoint cover.  Each chunk
+    is ``slice(tokens, start, max_len)``; the tail chunk may be shorter
+    and chunks shorter than ``min_len`` are dropped (set ``min_len =
+    max_len`` to keep only full windows).  Pure Catalyst
+    (sequence -> posexplode -> slice): the only shuffle is whatever the
+    caller does next, and a doc's chunks stay on its partition.
+
+    Output: (id_col, *keep_cols, chunk_id, tokens, n_tok) — chunk_id is
+    the 0-based window index within the doc, so (id, chunk_id) is a
+    stable key and ORDER BY chunk_id reassembles the doc.
+    """
+    step = stride or max_len
+    if step <= 0 or max_len <= 0:
+        raise ValueError("max_len and stride must be positive")
+    keep = keep_cols or []
+    n = F.size(F.col(tokens_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    exploded = (
+        df.where(n > 0)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            F.col(tokens_col).alias("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            F.col("chunk_id"),
+            F.slice(F.col("_toks"), F.col("_start") + 1, max_len).alias(tokens_col),
+        )
+        .withColumn("n_tok", F.size(tokens_col).cast("int"))
+    )
+    return exploded.where(F.col("n_tok") >= min_len)

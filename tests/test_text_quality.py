@@ -212,3 +212,49 @@ def test_curate_gopher_stage(spark):
     assert ids == {0, 2}
     assert stats["gopher_filter"] == 3  # doc 1 dropped by the doc-local rules
     assert stats["gopher_repetition"] == 2  # doc 3 dropped by repetition
+
+
+# ------------------------------------------------------------------- C4
+
+
+def test_c4_clean_lines(spark):
+    from logtrics_spark.operators.text import c4_clean
+
+    rows = [
+        (
+            0,
+            "This line has enough words to survive.\n"
+            "short line.\n"
+            "This line has five words but no terminal punctuation\n"
+            "Please enable javascript to view this page.\n"
+            "Another perfectly reasonable sentence stays here!",
+        ),
+        (1, "nothing survives here\n{ code }"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in df.select("doc_id", c4_clean("text").alias("clean")).collect()
+    }
+    assert got[0] == (
+        "This line has enough words to survive.\n"
+        "Another perfectly reasonable sentence stays here!"
+    )
+    assert got[1] == ""
+
+
+def test_c4_keep(spark):
+    from logtrics_spark.operators.text import c4_keep
+
+    rows = [
+        (0, "One sentence. Two sentences! Three sentences?"),
+        (1, "Only one sentence here."),
+        (2, "Code ahead. Really it is. Believe me. { return 0; }"),
+        (3, "Lorem ipsum dolor sit amet. Filler text. More filler."),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in df.select("doc_id", c4_keep("text").alias("keep")).collect()
+    }
+    assert got == {0: True, 1: False, 2: False, 3: False}

@@ -169,3 +169,52 @@ def test_repetition_stats_signal(spark):
     assert got.loc["loop", "n_grams"] == 4 and got.loc["loop", "n_distinct"] == 1
     assert got.loc["loop", "repetition_ratio"] == 0.75
     assert got.loc["short", "n_grams"] == 0 and got.loc["short", "repetition_ratio"] == 0.0
+
+
+def test_chunk_sequences_disjoint_and_strided(spark):
+    import pandas as pd
+
+    from logtrics_spark.operators.tokens import chunk_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["a", "a", "b"],
+            "tokens": [list(range(10)), list(range(3)), []],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # disjoint cover: 10 tokens at max_len 4 -> [0..3], [4..7], [8..9]
+    got = chunk_sequences(df, max_len=4, keep_cols=["source"]).collect()
+    by_key = {(r["doc_id"], r["chunk_id"]): list(r["tokens"]) for r in got}
+    assert by_key[(0, 0)] == [0, 1, 2, 3]
+    assert by_key[(0, 1)] == [4, 5, 6, 7]
+    assert by_key[(0, 2)] == [8, 9]
+    assert by_key[(1, 0)] == [0, 1, 2]
+    assert all(did != 2 for did, _ in by_key)  # empty doc emits nothing
+    # reassembly: ORDER BY chunk_id concatenates back to the original
+    parts = [by_key[(0, i)] for i in range(3)]
+    assert [t for p in parts for t in p] == list(range(10))
+    # strided overlap (GPT-2 eval convention)
+    got2 = chunk_sequences(df.where("doc_id = 0"), max_len=4, stride=2).collect()
+    by2 = {r["chunk_id"]: list(r["tokens"]) for r in got2}
+    assert by2[0] == [0, 1, 2, 3] and by2[1] == [2, 3, 4, 5]
+    assert by2[4] == [8, 9]
+    # min_len drops short tails
+    got3 = chunk_sequences(df.where("doc_id = 0"), max_len=4, min_len=4).collect()
+    assert sorted(r["chunk_id"] for r in got3) == [0, 1]
+    # full-window chunks only, n_tok stamped
+    assert all(r["n_tok"] == 4 for r in got3)
+
+
+def test_chunk_sequences_validates(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from logtrics_spark.operators.tokens import chunk_sequences
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "tokens": [[1]]}))
+    with _pt.raises(ValueError):
+        chunk_sequences(df, max_len=0)
+    with _pt.raises(ValueError):
+        chunk_sequences(df, max_len=4, stride=-1)
