@@ -344,6 +344,8 @@ def _cmd_curate(args) -> int:
         id_col=args.id_col,
         min_quality=args.min_quality if args.min_quality > 0 else None,
         langs=args.langs.split(",") if args.langs else None,
+        gopher=args.gopher,
+        gopher_opts={"min_words": args.gopher_min_words} if args.gopher else None,
         near_dup=not args.no_near_dup,
         jaccard_threshold=args.jaccard,
         benchmark=benchmark,
@@ -545,6 +547,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs below this quality score; <=0 disables")
     cu.add_argument("--langs",
                     help="comma-separated allowed langs (default: keep all)")
+    cu.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher A1.1 quality + repetition rules "
+                         "at the published thresholds")
+    cu.add_argument("--gopher-min-words", type=int, default=50,
+                    help="Gopher word-count lower bound (paper default 50)")
     cu.add_argument("--no-near-dup", action="store_true",
                     help="skip the MinHash-LSH near-dedup stage")
     cu.add_argument("--jaccard", type=float, default=0.8,

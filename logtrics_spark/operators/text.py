@@ -331,6 +331,13 @@ def top_ngram_char_frac(
     The top gram tie-breaks deterministically on (count desc, gram asc)
     so the result is engine-stable.  Docs with fewer than n words get
     frac 0.0.  Output: (id_col, top_gram, top_count, frac).
+
+    Sharp edge (faithful to the published formula, which public
+    implementations also keep): a count-1 "top" gram still counts, so a
+    SHORT document can exceed the threshold with no repetition at all
+    (one 4-gram is easily >16% of a 20-word doc's characters) — the
+    rule presumes web-length documents; on short-doc corpora raise the
+    thresholds or filter on length first.
     """
     grams = _word_ngrams(df, n, text_col, id_col)
     counts = grams.groupBy("id", "gram").agg(F.count("*").alias("cnt"))

@@ -153,3 +153,42 @@ def test_cli_curate(spark, tmp_path, capsys):
     ])
     assert rc == 1
     assert "invalid --sample-rates" in capsys.readouterr().err
+
+
+def test_cli_curate_gopher(spark, tmp_path, capsys):
+    """--gopher applies the A1.1 stage: the word-soup doc with a
+    degenerate top 2-gram drops, clean prose survives."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "source": ["web", "web"],
+            "text": [
+                # long enough that a count-1 top 4-gram stays under the
+                # 16% character threshold (the rule targets web-length
+                # docs; a short doc's single 4-gram can exceed it)
+                "the quick brown fox jumps over the lazy dog and that "
+                "was that with more of the same to be said again here "
+                "while seven other animals watch from beyond the old "
+                "stone wall near the winding river bank under a pale "
+                "morning sky as the farmer walks slowly toward town "
+                "carrying a heavy basket of fresh bread and ripe fruit",
+                "spam " * 40 + "the and of",
+            ],
+        }
+    )
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs).write.parquet(inp)
+    out = str(tmp_path / "kept")
+    rc = main([
+        "curate", "--input", inp, "--output", out,
+        "--min-quality", "0", "--no-near-dup",
+        "--gopher", "--gopher-min-words", "10",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"]["gopher_filter"] >= 1
+    assert "gopher_repetition" in rep["stages"]
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {0}
