@@ -462,10 +462,61 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
+    """Two doc-scoring/transform parts: 'quality' = the composite
+    quality heuristic; 'redact' = PII scrubbing (operators/redact.py)
+    over text with PII deterministically SEEDED per doc_id (the corpus
+    itself carries none) — one of email / IPv4 / phone+intl / card per
+    doc, so every category's pattern, the masking order, and the
+    count-after-earlier-masking semantics are all value-hashed against
+    a DuckDB replica of the same sequential regexp_replace chain."""
+    from logtrics_spark.operators.redact import redact_pii
     from logtrics_spark.operators.text import quality_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", _q(quality_score("text"), 6).alias("quality"))
+    _null_redact = [
+        F.lit(None).cast("string").alias("redacted"),
+        F.lit(None).cast("long").alias("n_email"),
+        F.lit(None).cast("long").alias("n_card"),
+        F.lit(None).cast("long").alias("n_ipv4"),
+        F.lit(None).cast("long").alias("n_phone"),
+    ]
+    qual = docs.select(
+        F.lit("quality").alias("part"),
+        "doc_id",
+        _q(quality_score("text"), 6).alias("quality"),
+        *_null_redact,
+    )
+    mod = F.col("doc_id") % 4
+    suffix = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit(" mail user"), F.col("doc_id").cast("string"), F.lit("@example.com now")
+            ),
+        )
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit(" server 10.1."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7 up"),
+            ),
+        )
+        .when(mod == 2, F.lit(" call 555-123-4567 or +4915112345678"))
+        .otherwise(F.lit(" card 4111 1111 1111 1111 end"))
+    )
+    seeded = docs.select("doc_id", F.concat("text", suffix).alias("text"))
+    red = redact_pii(seeded).select(
+        F.lit("redact").alias("part"),
+        "doc_id",
+        F.lit(None).cast("double").alias("quality"),
+        F.col("text").alias("redacted"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_card").cast("long").alias("n_card"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+    return qual.unionByName(red)
 
 
 def q_meter_ewma_1h(spark, sf_dir):
@@ -2074,15 +2125,64 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text,
                        '(?i)\b(the|and|of|to|in|is|that|for|with)\b')) AS hits,
                      len(regexp_split_to_array(trim(text), '\s+')) AS toks
-              FROM documents)
-            SELECT doc_id,
+              FROM documents),
+            seeded AS (
+              SELECT doc_id, text ||
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  WHEN 1 THEN ' server 10.1.' || CAST(doc_id % 200 AS VARCHAR) || '.7 up'
+                  WHEN 2 THEN ' call 555-123-4567 or +4915112345678'
+                  ELSE ' card 4111 1111 1111 1111 end' END AS t
+              FROM documents),
+            r0 AS (
+              SELECT doc_id, t,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<email>', 'g') AS t1
+              FROM seeded),
+            r1 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                       '\b\d{4}[ \-]?\d{4}[ \-]?\d{4}[ \-]?\d{4}\b')) AS n_card,
+                     regexp_replace(t1,
+                       '\b\d{4}[ \-]?\d{4}[ \-]?\d{4}[ \-]?\d{4}\b',
+                       '<card>', 'g') AS t2
+              FROM r0),
+            r2 AS (
+              SELECT doc_id, n_email, n_card,
+                     len(regexp_extract_all(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                     regexp_replace(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<ip>', 'g') AS t3
+              FROM r1),
+            r3 AS (
+              SELECT doc_id, n_email, n_card, n_ipv4,
+                     len(regexp_extract_all(t3,
+                       '\+\d{7,15}\b|\b\d{3}[.\-]\d{3}[.\-]\d{4}\b')) AS n_phone,
+                     regexp_replace(t3,
+                       '\+\d{7,15}\b|\b\d{3}[.\-]\d{3}[.\-]\d{4}\b',
+                       '<phone>', 'g') AS t4
+              FROM r2)
+            SELECT 'quality' AS part, doc_id,
                    floor((len_score * 0.4
                           + greatest(0.0, 1.0 - punct * 4.0) * 0.3
                           + least(CASE WHEN toks > 0
                                        THEN hits / CAST(toks AS DOUBLE) ELSE 0.0 END * 3.0,
                                   1.0) * 0.3) * 1000000.0 + 0.5 + 1e-6) / 1000000.0
-                     AS quality
+                     AS quality,
+                   CAST(NULL AS VARCHAR) AS redacted,
+                   CAST(NULL AS BIGINT) AS n_email,
+                   CAST(NULL AS BIGINT) AS n_card,
+                   CAST(NULL AS BIGINT) AS n_ipv4,
+                   CAST(NULL AS BIGINT) AS n_phone
             FROM f
+            UNION ALL
+            SELECT 'redact', doc_id, CAST(NULL AS DOUBLE),
+                   t4, n_email, n_card, n_ipv4, n_phone
+            FROM r3
         """,
         "asof_gauge": """
             WITH hourly AS (

@@ -344,6 +344,7 @@ def _cmd_curate(args) -> int:
         id_col=args.id_col,
         min_quality=args.min_quality if args.min_quality > 0 else None,
         langs=args.langs.split(",") if args.langs else None,
+        redact=args.redact,
         gopher=args.gopher,
         gopher_opts={"min_words": args.gopher_min_words} if args.gopher else None,
         near_dup=not args.no_near_dup,
@@ -547,6 +548,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs below this quality score; <=0 disables")
     cu.add_argument("--langs",
                     help="comma-separated allowed langs (default: keep all)")
+    cu.add_argument("--redact", action="store_true",
+                    help="scrub PII (emails/IPs/phones/cards) BEFORE any "
+                         "other stage reads the text")
     cu.add_argument("--gopher", action="store_true",
                     help="apply the Gopher A1.1 quality + repetition rules "
                          "at the published thresholds")

@@ -5,6 +5,7 @@ this module chains them into the one plan a data team actually runs
 over a 100 TB corpus, with per-stage survivor counts as the audit
 trail:
 
+    redact     PII scrub (opt-in, FIRST)       codegen regex projection
     annotate   quality_score + language_id     one projection, JVM-only
     filter     min quality / allowed langs     pushed predicates
     gopher     Rae et al. 2021 A1.1 rules      doc-local Catalyst pred +
@@ -55,6 +56,7 @@ def curate(
     id_col: str = "doc_id",
     min_quality: float | None = 0.3,
     langs: list[str] | None = None,
+    redact: bool = False,
     gopher: bool = False,
     gopher_opts: dict | None = None,
     gopher_top_ns: dict[int, float] | None = None,
@@ -89,6 +91,18 @@ def curate(
         if collect_stats:
             stats[stage] = df.count()
         return df
+
+    if redact:
+        # FIRST, before anything reads the text: raw PII must not
+        # travel into annotations, signatures, or samples.  Row count
+        # is unchanged; the audit number worth recording is how many
+        # docs carried PII at all.
+        from logtrics_spark.operators.redact import PII_PATTERNS, redact_pii
+
+        docs = redact_pii(docs, text_col=text_col)
+        if collect_stats:
+            stats["redact_docs_hit"] = docs.where(F.col("n_pii") > 0).count()
+        docs = docs.drop("n_pii", *[f"n_{name}" for name in PII_PATTERNS])
 
     cur = docs.withColumn("quality", quality_score(F.col(text_col))).withColumn(
         "lang", language_id(F.col(text_col))
