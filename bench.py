@@ -93,6 +93,7 @@ def main() -> None:
         "dedup_exact",
         "lang_id",
         "similarity_topk",
+        "similarity_ivf",
         "similarity_ivf_append",
         "minhash_pairs",
         "simhash_pairs",
