@@ -579,10 +579,13 @@ def q_similarity_ivf(spark, sf_dir):
     import os as _os
 
     path = f"/tmp/spark_graft_ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    build_ivf_index(embs, path, n_centroids=8)
+    cents = build_ivf_index(embs, path, n_centroids=8)
     store = query_ivf_index(spark, path, qs, k=5, nprobe=8)
     pq_path = f"/tmp/spark_graft_ivfpq_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    build_ivfpq_index(embs, pq_path, n_centroids=8, m=4, ks=64)
+    # share the coarse centroids: one training pass serves both stores
+    # (exactly what a production deployment does — the PQ layer rides
+    # the SAME inverted lists)
+    build_ivfpq_index(embs, pq_path, n_centroids=8, m=4, ks=64, centroids=cents)
     # refine_factor x k must cover the corpus for the exact-oracle
     # degeneracy; the PQ stage only generates candidates here
     n_corpus = embs.count()
