@@ -156,3 +156,37 @@ def test_tokenize_cli(spark, tmp_path, capsys):
 
     with _pt.raises(Exception):
         main(["tokenize", "--input", inp, "--output", out, "--model", model])
+
+
+def test_bpe_roundtrip_property(spark):
+    """Hypothesis: for ANY training corpus, every trained word encodes
+    without <unk> and its symbols concatenate back to word + EOW —
+    lossless over the trained vocabulary at every vocab_size."""
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logtrics_spark.operators.bpe import train_bpe as _train  # noqa: F401
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=8)
+    corpus = st.lists(word, min_size=1, max_size=30)
+    sizes = st.integers(min_value=1, max_value=64)
+
+    # train on a pandas-backed single-partition frame: the property is
+    # about the ALGORITHM, so keep Spark out of the hot loop (one tiny
+    # createDataFrame per example is still a Spark job — sample few)
+    @settings(max_examples=15, deadline=None)
+    @given(words=corpus, vocab_size=sizes)
+    def check(words, vocab_size):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(words)), "text": words})
+        )
+        model = train_bpe(docs, vocab_size=vocab_size)
+        ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+        inv = {v: k for k, v in model["vocab"].items()}
+        for w in set(words):
+            ids = _encode_word(w, ranks, model["vocab"])
+            assert UNK_ID not in ids, (w, ids)
+            assert "".join(inv[i] for i in ids) == w + EOW
+
+    check()
