@@ -652,6 +652,17 @@ def build_ivfpq_index(
         .parquet(f"{path}/lists")
     )
     cents_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # training-time quantization-error baseline (one more encode pass —
+    # build already makes full passes; pq_drift compares appended
+    # deltas' error against this to signal codebook retraining)
+    err = _pq_error_udf(codebooks)
+    row = resid.agg(
+        F.avg(err(F.col("r"), encode(F.col("r")))).alias("m"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    _pq_stats_row(spark, float(row["m"] or 0.0), int(row["n"]), "mean_pq_err").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
     mm, kk, dsub = codebooks.shape
     book_rows = pd.DataFrame(
         {
@@ -784,3 +795,115 @@ def query_ivfpq_index(
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def _pq_error_udf(codebooks: np.ndarray):
+    """pandas_udf: (residual, code) -> squared quantization error
+    ||r - reconstruct(code)||^2 — the ADC loss the codebooks impose."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, dsub = books.shape
+
+    @F.pandas_udf(T.DoubleType())
+    def err(r: pd.Series, code: pd.Series) -> pd.Series:
+        mat = np.stack(r.to_numpy()).astype(np.float64)
+        codes = np.stack(code.to_numpy()).astype(np.int64)  # (b, m)
+        recon = books[np.arange(m)[None, :], codes]  # (b, m, dsub)
+        diff = mat.reshape(len(mat), m, dsub) - recon
+        return pd.Series((diff * diff).sum(axis=(1, 2)))
+
+    return err
+
+
+def _pq_stats_row(spark, value: float, n: int, metric: str) -> DataFrame:
+    return spark.createDataFrame(
+        pd.DataFrame({"metric": [metric], "value": [value], "n": [n]})
+    )
+
+
+def append_to_ivfpq_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental IVF-PQ maintenance: assign + ENCODE only the delta
+    with the index's STORED centroids and codebooks, append into the
+    ``cid=`` partitions, and record the delta's quantization error next
+    to the training baseline.
+
+    Same contract as :func:`append_to_ivf_index` (query after append ==
+    rebuild on the same centroids AND codebooks; pinned by tests), plus
+    the PQ-specific drift signal: codes are only as good as the
+    codebooks, and codebooks were trained on the BUILD-time residual
+    distribution — :func:`pq_drift` compares the appended deltas'
+    reconstruction error against the baseline to tell the operator when
+    re-training (a rebuild) is due.  Returns the delta's
+    ``{"mean_pq_err", "n"}``.
+    """
+    spark = new_rows.sparkSession
+    centroids, books = _load_pq_index(spark, path)
+    assigned = assign_corpus(
+        new_rows.withColumn(vec_col, F.col(vec_col).cast("array<double>")),
+        centroids,
+        id_col,
+        vec_col,
+    )
+    cent_rows = pd.DataFrame(
+        {"cid": range(len(centroids)), "centroid": [c.tolist() for c in centroids]}
+    )
+    resid = assigned.join(F.broadcast(spark.createDataFrame(cent_rows)), "cid").withColumn(
+        "r", F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: a - b)
+    )
+    encode = _pq_encode_udf(books)
+    err = _pq_error_udf(books)
+    enc = resid.select(
+        "cid", "id", "nv", encode(F.col("r")).alias("code"), F.col("r")
+    ).localCheckpoint()  # one delta pass serves the write AND the error agg
+    enc.select("cid", "id", "nv", "code").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(f"{path}/lists")
+    row = enc.agg(
+        F.avg(err(F.col("r"), F.col("code"))).alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    delta_err, n = float(row["m"] or 0.0), int(row["n"])
+    _pq_stats_row(spark, delta_err, n, "mean_pq_err_delta").write.mode(
+        "append"
+    ).parquet(f"{path}/stats")
+    return {"mean_pq_err": delta_err, "n": n}
+
+
+def pq_drift(spark, path: str, retrain_ratio: float = 1.5) -> dict:
+    """Codebook-drift metric for an appended-to IVF-PQ index.
+
+    baseline = training-time mean squared reconstruction error;
+    current = the n-weighted mean over every appended delta's error
+    (recomputable data is the DELTAS' errors recorded at append time —
+    the lists store codes, not residuals, so the corpus error cannot be
+    re-derived post hoc; this is the honest streaming-maintenance
+    shape).  ratio >= ``retrain_ratio`` flags a rebuild.  With no
+    appends yet, ratio is 1.0.
+
+    Calibration note: the baseline is IN-SAMPLE (the codebooks were
+    fitted on those residuals), so even a same-distribution delta reads
+    a ratio above 1.0 by the k-means generalization gap — negligible
+    when training points >> m*ks (the production regime), but on small
+    corpora with generous codebooks pick ``retrain_ratio`` with
+    headroom (the gap is visible in tests/test_pq.py).
+    """
+    stats = spark.read.parquet(f"{path}/stats").toPandas()
+    base_rows = stats[stats["metric"] == "mean_pq_err"]
+    baseline = float(base_rows["value"].iloc[0])
+    deltas = stats[stats["metric"] == "mean_pq_err_delta"]
+    if len(deltas) == 0:
+        current, n = baseline, 0
+    else:
+        n = int(deltas["n"].sum())
+        current = float((deltas["value"] * deltas["n"]).sum() / max(n, 1))
+    ratio = current / baseline if baseline > 0 else float("inf") if current > 0 else 1.0
+    return {
+        "baseline": baseline,
+        "current": current,
+        "n_appended": n,
+        "ratio": ratio,
+        "retrain": ratio >= retrain_ratio,
+    }

@@ -112,3 +112,59 @@ def test_exact_regime_codebooks(spark, corpus):
         for row in subv:
             d = np.abs(books[mi] - row[None, :]).sum(1).min()
             assert d == pytest.approx(0.0, abs=1e-12)
+
+
+def test_append_matches_rebuild_and_drift(spark, corpus, tmp_path):
+    from logtrics_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        pq_drift,
+        train_centroids,
+    )
+
+    evens = corpus.where("vec_id % 2 = 0")
+    odds = corpus.where("vec_id % 2 = 1")
+    cents = train_centroids(corpus, 4)
+
+    # incremental: build on evens, append odds (stored codebooks encode
+    # the delta)
+    inc = str(tmp_path / "pq_inc")
+    _, books = build_ivfpq_index(evens, inc, m=4, ks=32, centroids=cents)
+    d = append_to_ivfpq_index(odds, inc)
+    assert d["n"] == odds.count()
+
+    # rebuild on the FULL corpus with the same centroids AND codebooks
+    full = str(tmp_path / "pq_full")
+    build_ivfpq_index(corpus, full, m=4, ks=32, centroids=cents, codebooks=books)
+
+    qs = corpus.where("vec_id < 6")
+    got_inc = {
+        (r["query_id"], r["rank"]): (r["id"], r["cosine"])
+        for r in query_ivfpq_index(spark, inc, qs, k=8, nprobe=4).collect()
+    }
+    got_full = {
+        (r["query_id"], r["rank"]): (r["id"], r["cosine"])
+        for r in query_ivfpq_index(spark, full, qs, k=8, nprobe=4).collect()
+    }
+    assert got_inc == got_full
+
+    # drift: use a lean codebook (ks=4 over 150 training points) so the
+    # in-sample baseline generalizes — a same-distribution delta then
+    # reads near 1.0, and a shifted delta trips the retrain flag
+    dr = str(tmp_path / "pq_drift")
+    build_ivfpq_index(evens, dr, m=4, ks=4, centroids=cents)
+    append_to_ivfpq_index(odds, dr)
+    drift_same = pq_drift(spark, dr, retrain_ratio=1.5)
+    assert drift_same["ratio"] < 1.5 and not drift_same["retrain"]
+    rng = np.random.default_rng(5)
+    shifted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(10_000, 10_100),
+                "embedding": [(v + 8.0).tolist() for v in rng.normal(size=(100, 16))],
+            }
+        )
+    )
+    append_to_ivfpq_index(shifted, dr)
+    drift_shift = pq_drift(spark, dr, retrain_ratio=1.5)
+    assert drift_shift["ratio"] > drift_same["ratio"]
+    assert drift_shift["retrain"]
