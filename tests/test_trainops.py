@@ -785,3 +785,48 @@ def test_maintain_ivf_index_auto_retrains(spark, embs, tmp_path):
     lists = spark.read.parquet(path + "/lists")
     assert lists.count() == 400 + 100 + 500
     assert lists.select("id").distinct().count() == 1000
+
+
+def test_curation_all_stages_compose(spark, docs):
+    """Every opt-in stage ON at once (redact -> gopher -> exact ->
+    near-dup -> decontam -> sample): the plan builds, runs, and each
+    stage's audit count appears in order and monotone (redact is a
+    row-preserving transform; its audit key counts docs hit)."""
+    from logtrics_spark.plans.curation import curate
+
+    base = docs.limit(30).select("doc_id", "text", "source")
+    corpus = base.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" reach me at a@b.io")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    bench = docs.where("doc_id >= 400").select("doc_id", "text", "source")
+    kept, stats = curate(
+        corpus,
+        min_quality=None,
+        redact=True,
+        gopher=True,
+        gopher_opts={"min_words": 5, "min_stop_hits": 0},
+        gopher_top_ns={2: 0.9},
+        gopher_dup_ns={},
+        near_dup=True,
+        jaccard_threshold=0.5,
+        benchmark=bench,
+        decontam_n=8,
+        sample_rate=0.9,
+    )
+    order = [
+        "redact_docs_hit", "input", "gopher_filter", "gopher_repetition",
+        "exact_dedup", "near_dedup", "decontam", "sample",
+    ]
+    assert [k for k in stats] == order
+    assert stats["redact_docs_hit"] == 6  # doc_id % 5 == 0 among 0..29
+    flow = [stats[k] for k in order[1:]]
+    assert flow == sorted(flow, reverse=True)
+    assert stats["sample"] == kept.count()
+    # no raw PII survives into the kept output
+    assert kept.where(F.col("text").contains("@")).count() == 0
