@@ -889,6 +889,14 @@ def pq_drift(spark, path: str, retrain_ratio: float = 1.5) -> dict:
     when training points >> m*ks (the production regime), but on small
     corpora with generous codebooks pick ``retrain_ratio`` with
     headroom (the gap is visible in tests/test_pq.py).
+
+    Retrain asymmetry vs IVF: ``maintain_ivf_index`` can rebuild from
+    its own lists (they store the vectors), but a PQ index stores only
+    CODES — retraining codebooks requires the source corpus, so the
+    maintenance loop here is: cron ``append_to_ivfpq_index`` + this
+    metric, and on ``retrain`` run ``build_ivfpq_index`` from the
+    source table into a fresh path and swap the pointer (the pattern
+    the IVF docstring recommends at scale anyway).
     """
     stats = spark.read.parquet(f"{path}/stats").toPandas()
     base_rows = stats[stats["metric"] == "mean_pq_err"]
