@@ -652,11 +652,17 @@ def build_ivfpq_index(
         .parquet(f"{path}/lists")
     )
     cents_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    # training-time quantization-error baseline (one more encode pass —
-    # build already makes full passes; pq_drift compares appended
-    # deltas' error against this to signal codebook retraining)
+    # training-time quantization-error baseline for pq_drift.  Estimated
+    # on a bounded partition-fair sample (same discipline as training):
+    # a FULL extra encode pass just for a baseline would double build
+    # cost at 100 TB, and the drift ratio only needs the baseline MEAN —
+    # the sample estimator's error is tiny next to the >=1.5x retrain
+    # threshold.  Small corpora (<= sample size) still measure exactly.
     err = _pq_error_udf(codebooks)
-    row = resid.agg(
+    cnt = corpus.count()
+    bfrac = min(1.0, (2.0 * sample_rows) / max(cnt, 1))
+    bresid = resid if bfrac >= 1.0 else resid.sample(fraction=bfrac, seed=seed)
+    row = bresid.agg(
         F.avg(err(F.col("r"), encode(F.col("r")))).alias("m"),
         F.count("*").alias("n"),
     ).collect()[0]
