@@ -192,3 +192,24 @@ def test_cli_curate_gopher(spark, tmp_path, capsys):
     assert "gopher_repetition" in rep["stages"]
     ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert ids == {0}
+
+
+def test_example_llm_pipeline(spark, tmp_path):
+    """examples/llm_pipeline.py composes the full public surface
+    (curate -> BPE -> chunk/pack -> RollupJob + sketch tiers ->
+    queries) against the sandbox test data without error."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/examples")
+    try:
+        import llm_pipeline
+
+        report = llm_pipeline.main(work_dir=str(tmp_path / "wk"))
+    finally:
+        _sys.path.remove("/root/repo/examples")
+    flow = [report["curation"][k] for k in ("input", "near_dedup", "sample")]
+    assert flow == sorted(flow, reverse=True)
+    assert report["tokens"]["docs"] == report["curation"]["sample"]
+    assert report["windows"]["chunks"] >= report["tokens"]["docs"]
+    assert report["tiers"]["hourly_rows"] > 0
+    assert report["queries"]["p95_windows"] == report["tiers"]["hourly_rows"]
