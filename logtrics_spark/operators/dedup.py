@@ -117,7 +117,8 @@ def dedup_paragraphs(
     paragraphs); paragraphs shorter than ``min_chars`` are exempt
     (kept everywhere, never treated as duplicates — C4 exempts short
     spans the same way); documents whose every paragraph is cut come
-    back with empty text rather than disappearing.
+    back with empty text rather than disappearing (NULL input text
+    likewise: a null splits to no paragraph rows, so it returns "").
 
     Scale shape: one explode pass; the min-(id,pos) winner per
     paragraph comes from a partial-aggregated groupBy; reassembly is a

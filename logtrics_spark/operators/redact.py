@@ -46,7 +46,8 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
     out: dict[str, Column] = {}
     cur = _c(text)
     for name, (pat, token) in PII_PATTERNS.items():
-        out[name] = F.regexp_count(cur, F.lit(pat))
+        # null text counts as 0 matches (regexp_count propagates null)
+        out[name] = F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0))
         cur = F.regexp_replace(cur, pat, token)
     return out
 

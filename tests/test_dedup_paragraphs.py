@@ -65,3 +65,8 @@ def test_order_preserved_and_multisplit_sep(spark):
     rows = [(0, "z last\n\n\n\na first\n\nm mid")]
     got = _run(spark, rows)
     assert got[0] == "z last\n\na first\n\nm mid"
+
+
+def test_null_text_returns_empty(spark):
+    got = _run(spark, [(0, None), (1, "real para")])
+    assert got[0] == "" and got[1] == "real para"

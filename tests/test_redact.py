@@ -82,3 +82,12 @@ def test_curate_redact_stage_runs_first(spark):
     assert stats["exact_dedup"] == 2
     texts = {r["text"] for r in kept.select("text").collect()}
     assert all("@" not in t for t in texts)
+
+
+def test_null_text_counts_zero(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [None, "mail a@b.co"]})
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["text"] is None and got[0]["n_pii"] == 0
+    assert got[1]["n_pii"] == 1
