@@ -154,6 +154,23 @@ def main() -> None:
     timings["curation"] = round(best_cur, 3)
     rows["curation"] = n_kept
 
+    # ---- BPE tokenization (operators/bpe.py) ------------------------------
+    # the documents -> tokens bridge, timed end to end: bounded-sample
+    # training + distributed Arrow encode + the token-count action
+    from logtrics_spark.operators.bpe import bpe_encode, train_bpe
+
+    best_bpe = n_bpe_tokens = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        model = train_bpe(docs, vocab_size=512, sample_rows=20_000)
+        tok_out = bpe_encode(docs, model, keep_cols=["source"])
+        n_bpe_tokens = tok_out.agg({"n_tok": "sum"}).first()[0]
+        dt = time.perf_counter() - t0
+        best_bpe = dt if best_bpe is None or dt < best_bpe else best_bpe
+    timings["bpe_tokenize"] = round(best_bpe, 3)
+    rows["bpe_tokenize"] = int(n_bpe_tokens or 0)
+    extras["bpe_tokens_per_sec"] = round((n_bpe_tokens or 0) / best_bpe, 1)
+
     # ---- delta vs the previous round's recorded bench -------------------
     # regressions must be mechanically visible: vs_prev[q] = t_now/t_prev
     # at the same sf (>1 slower, <1 faster).  Prefer the full result files
@@ -211,6 +228,7 @@ def main() -> None:
         "cpus": cpus,
         "points_per_sec": extras["points_per_sec"],
         "tok_rows": extras["tok_rows"],
+        "bpe_tokens_per_sec": extras.get("bpe_tokens_per_sec"),
         "vs_prev": vs_prev,
         "prev_bench": prev_name,
         "timing": "queries best-of-3, tok pipeline best-of-2 (fresh store per attempt)",
