@@ -468,7 +468,13 @@ def q_quality_score(spark, sf_dir):
     itself carries none) — one of email / IPv4 / phone+intl / card per
     doc, so every category's pattern, the masking order, and the
     count-after-earlier-masking semantics are all value-hashed against
-    a DuckDB replica of the same sequential regexp_replace chain."""
+    a DuckDB replica of the same sequential regexp_replace chain; part
+    'ppl' = bigram-LM perplexity (operators/lm.py, the CCNet filter)
+    with the model TRAINED on this same corpus and every count, the
+    add-alpha log arithmetic, and the per-doc average replicated in
+    SQL (quantized at 1e-4 so last-ulp libm ln() differences between
+    the JVM and DuckDB cannot flip the hash)."""
+    from logtrics_spark.operators.lm import perplexity, train_ngram_lm
     from logtrics_spark.operators.redact import redact_pii
     from logtrics_spark.operators.text import quality_score
 
@@ -480,11 +486,25 @@ def q_quality_score(spark, sf_dir):
         F.lit(None).cast("long").alias("n_ipv4"),
         F.lit(None).cast("long").alias("n_phone"),
     ]
+    _null_ppl = [
+        F.lit(None).cast("long").alias("n_words"),
+        F.lit(None).cast("double").alias("ppl"),
+    ]
     qual = docs.select(
         F.lit("quality").alias("part"),
         "doc_id",
         _q(quality_score("text"), 6).alias("quality"),
         *_null_redact,
+        *_null_ppl,
+    )
+    model = train_ngram_lm(docs, vocab_size=100_000, alpha=0.5)
+    ppl = perplexity(docs, model).select(
+        F.lit("ppl").alias("part"),
+        "doc_id",
+        F.lit(None).cast("double").alias("quality"),
+        *_null_redact,
+        F.col("n_words").cast("long").alias("n_words"),
+        _q(F.col("perplexity"), 4).alias("ppl"),
     )
     mod = F.col("doc_id") % 4
     suffix = (
@@ -515,8 +535,9 @@ def q_quality_score(spark, sf_dir):
         F.col("n_card").cast("long").alias("n_card"),
         F.col("n_ipv4").cast("long").alias("n_ipv4"),
         F.col("n_phone").cast("long").alias("n_phone"),
+        *_null_ppl,
     )
-    return qual.unionByName(red)
+    return qual.unionByName(red).unionByName(ppl)
 
 
 def q_meter_ewma_1h(spark, sf_dir):
@@ -2168,7 +2189,39 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(t3,
                        '\+\d{7,15}\b|\b\d{3}[.\-]\d{3}[.\-]\d{4}\b',
                        '<phone>', 'g') AS t4
-              FROM r2)
+              FROM r2),
+            lmw AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS w
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                    FROM documents WHERE length(trim(text)) > 0),
+                   unnest(range(1, len(t) + 1)) AS u(i)),
+            lmuni AS (SELECT w, count(*) AS c FROM lmw GROUP BY 1),
+            lmmeta AS (SELECT count(*) + 1 AS v, sum(c) AS n FROM lmuni),
+            lmpairs AS (
+              SELECT doc_id, pos, w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM lmw),
+            lmbi AS (
+              SELECT w1, w2, count(*) AS c FROM lmpairs
+              WHERE w2 IS NOT NULL GROUP BY 1, 2),
+            lmterms AS (
+              SELECT p.doc_id,
+                     ln(COALESCE(u.c, 0) + 0.5) - ln(m.n + 0.5 * m.v) AS lp
+              FROM lmpairs p CROSS JOIN lmmeta m
+              LEFT JOIN lmuni u ON p.w1 = u.w
+              WHERE p.pos = 0
+              UNION ALL
+              SELECT p.doc_id,
+                     ln(COALESCE(b.c, 0) + 0.5)
+                       - ln(COALESCE(u.c, 0) + 0.5 * m.v) AS lp
+              FROM lmpairs p CROSS JOIN lmmeta m
+              LEFT JOIN lmbi b ON p.w1 = b.w1 AND p.w2 = b.w2
+              LEFT JOIN lmuni u ON p.w1 = u.w
+              WHERE p.w2 IS NOT NULL),
+            lmscore AS (
+              SELECT doc_id, count(*) AS n_words, avg(lp) AS alp
+              FROM lmterms GROUP BY 1)
             SELECT 'quality' AS part, doc_id,
                    floor((len_score * 0.4
                           + greatest(0.0, 1.0 - punct * 4.0) * 0.3
@@ -2180,12 +2233,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_email,
                    CAST(NULL AS BIGINT) AS n_card,
                    CAST(NULL AS BIGINT) AS n_ipv4,
-                   CAST(NULL AS BIGINT) AS n_phone
+                   CAST(NULL AS BIGINT) AS n_phone,
+                   CAST(NULL AS BIGINT) AS n_words,
+                   CAST(NULL AS DOUBLE) AS ppl
             FROM f
             UNION ALL
             SELECT 'redact', doc_id, CAST(NULL AS DOUBLE),
-                   t4, n_email, n_card, n_ipv4, n_phone
+                   t4, n_email, n_card, n_ipv4, n_phone,
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
             FROM r3
+            UNION ALL
+            SELECT 'ppl', doc_id, CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(n_words AS BIGINT),
+                   floor(exp(-alp) * 10000.0 + 0.5 + 1e-6) / 10000.0
+            FROM lmscore
         """,
         "asof_gauge": """
             WITH hourly AS (

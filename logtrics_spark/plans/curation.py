@@ -8,6 +8,8 @@ trail:
     redact     PII scrub (opt-in, FIRST)       codegen regex projection
     annotate   quality_score + language_id     one projection, JVM-only
     filter     min quality / allowed langs     pushed predicates
+    lm         perplexity cut (opt-in)         explode + model joins,
+                                               CCNet practice
     gopher     Rae et al. 2021 A1.1 rules      doc-local Catalyst pred +
                (opt-in)                        n-gram repetition passes
     exact      one keeper per identical text   8-byte-fingerprint groupBy
@@ -57,6 +59,8 @@ def curate(
     min_quality: float | None = 0.3,
     langs: list[str] | None = None,
     redact: bool = False,
+    lm_model: dict | None = None,
+    max_perplexity: float | None = None,
     gopher: bool = False,
     gopher_opts: dict | None = None,
     gopher_top_ns: dict[int, float] | None = None,
@@ -113,6 +117,23 @@ def curate(
         cur = _n("quality_filter", cur.where(F.col("quality") >= min_quality))
     if langs:
         cur = _n("lang_filter", cur.where(F.col("lang").isin(langs)))
+
+    if lm_model is not None and max_perplexity is not None:
+        # CCNet practice: keep the low-perplexity head under a model
+        # trained on trusted text (operators/lm.py).  NULL perplexity
+        # (blank docs) does not pass a < cut — consistent with every
+        # other filter dropping degenerate rows.
+        from logtrics_spark.operators.lm import perplexity
+
+        ppl = perplexity(cur, lm_model, text_col=text_col, id_col=id_col).select(
+            id_col, "perplexity"
+        )
+        cur = _n(
+            "lm_filter",
+            cur.join(ppl, id_col, "left")
+            .where(F.col("perplexity") <= max_perplexity)
+            .drop("perplexity"),
+        )
 
     if gopher:
         # Gopher A1.1 rules: the doc-local predicate is one pushed
