@@ -338,6 +338,14 @@ def _cmd_curate(args) -> int:
     spark, own = _get_session("logtrics-curate")
     docs = spark.read.parquet(args.input)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    lm_model = None
+    if args.lm_corpus and args.max_perplexity is not None:
+        from logtrics_spark.operators.lm import train_ngram_lm
+
+        lm_model = train_ngram_lm(
+            spark.read.parquet(args.lm_corpus), text_col=args.text_col,
+            id_col=args.id_col,
+        )
     kept, stats = curate(
         docs,
         text_col=args.text_col,
@@ -345,6 +353,8 @@ def _cmd_curate(args) -> int:
         min_quality=args.min_quality if args.min_quality > 0 else None,
         langs=args.langs.split(",") if args.langs else None,
         redact=args.redact,
+        lm_model=lm_model,
+        max_perplexity=args.max_perplexity,
         gopher=args.gopher,
         gopher_opts={"min_words": args.gopher_min_words} if args.gopher else None,
         near_dup=not args.no_near_dup,
@@ -548,6 +558,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs below this quality score; <=0 disables")
     cu.add_argument("--langs",
                     help="comma-separated allowed langs (default: keep all)")
+    cu.add_argument("--lm-corpus", default=None,
+                    help="trusted-text parquet: train a bigram LM on it and "
+                         "keep only docs under --max-perplexity")
+    cu.add_argument("--max-perplexity", type=float, default=None)
     cu.add_argument("--redact", action="store_true",
                     help="scrub PII (emails/IPs/phones/cards) BEFORE any "
                          "other stage reads the text")
