@@ -900,7 +900,10 @@ def q_minhash_pairs(spark, sf_dir):
     cand = minhash_lsh_dupes(
         docs, num_hashes=64, bands=32, include_est=False
     ).localCheckpoint()
-    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5)
+    # min_jaccard pushes the 0.6 cut into the verify operator, where the
+    # exact size-ratio bound prunes pairs before the gram-set joins — the
+    # output set is identical (the bound is a proof, not a heuristic)
+    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5, min_jaccard=0.6)
     return ver.where(F.col("jaccard") >= 0.6).select(
         "id_a", "id_b", _q("jaccard", 4).alias("jaccard")
     )
@@ -919,7 +922,10 @@ def q_simhash_pairs(spark, sf_dir):
     cand = (
         simhash_dupes(docs, band_bits=8).where("hamming <= 7").localCheckpoint()
     )
-    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5)
+    # 8-bit bands over a template-heavy corpus admit millions of low-
+    # hamming candidates; min_jaccard's exact size bound prunes them
+    # before the gram-set attachment without changing the verified set
+    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5, min_jaccard=0.6)
     return ver.where(F.col("jaccard") >= 0.6).select(
         "id_a", "id_b", _q("jaccard", 4).alias("jaccard")
     )
@@ -943,9 +949,9 @@ def q_dedup_groups(spark, sf_dir):
     cand = minhash_lsh_dupes(
         docs, num_hashes=64, bands=32, include_est=False, max_bucket_size=4096
     ).localCheckpoint()
-    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5).where(
-        F.col("jaccard") >= 0.6
-    )
+    ver = ngram_jaccard_pairs(
+        docs, cand.select("id_a", "id_b"), n=5, min_jaccard=0.6
+    ).where(F.col("jaccard") >= 0.6)
     groups = dedup_groups(ver.select("id_a", "id_b"))
     return groups.select(
         F.col("id").cast("long").alias("id"),

@@ -359,6 +359,12 @@ def minhash_lsh_dupes(
     # band rows carry ONLY (id, band, bucket): the self-join shuffle is
     # 3 longs per row.  Round-1 carried both 64-long signatures through
     # the join and the dedup — the dominant cost of the whole operator.
+    # The bucket hashes the band's signature slice NUMERICALLY
+    # (xxhash64 over the long elements themselves); the r6 shape built a
+    # comma-joined decimal string per band per doc just to hash it —
+    # bands x docs short-string allocations for no informational gain
+    # (both are seeded 64-bit hashes of the same slice; only candidates
+    # whose band slices truly match meet in a bucket, either way).
     banded = sigs.select(
         "id",
         F.explode(
@@ -367,13 +373,10 @@ def minhash_lsh_dupes(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[
+                                F.col("sig")[b * rows_per_band + j]
+                                for j in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -607,19 +610,45 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for given candidate (id_a, id_b) pairs.
 
-    The verification stage after LSH.  Plan shape (all whole-stage
-    codegen, no array HOFs — the interpreted array_intersect/union
-    variant was ~2x slower on 40k-candidate verifies):
+    The verification stage after LSH.  Plan shape:
 
       1. gram rows (id, sh) only for docs appearing in a pair
          (broadcast semi-join prefilter — at corpus scale the candidate
          set is orders of magnitude smaller than the corpus);
-      2. |A∩B| per pair = pairs ⋈ grams(id_a) ⋈ grams(id_b, sh) →
-         groupBy(pair).count — narrow rows through hash joins;
-      3. jaccard = inter / (|A| + |B| - inter) with per-doc set sizes.
+      2. one gram-SET row per candidate doc: groupBy(id) ->
+         collect_set of the 8-byte shingle fingerprints (plus its
+         size) — the partial-aggregated shuffle carries each doc's set
+         once;
+      3. attach both sets to each pair (two narrow hash joins keyed on
+         the doc id) and compute |A∩B| with ``array_intersect`` inside
+         the pair row — no row ever fans out per shingle.
+
+    The r6 shape instead joined the per-shingle rows against the pair
+    list (pairs ⋈ grams(id_a) ⋈ grams(id_b, sh) → groupBy count).
+    That exploded |pairs| x |grams/doc| intermediate rows THROUGH an
+    exchange: at sf1.0 the simhash candidate set (4.0M pairs x ~200
+    grams) pushed ~800M rows into the (id_b, sh) shuffle and the
+    verify alone cost 26 s.  Set-per-doc attachment moves each doc's
+    set once per pair side and keeps the only fan-out (shingling)
+    before the per-doc aggregation.
+
+    ``min_jaccard`` (opt-in) prunes pairs with the EXACT size bound
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|) before the set arrays are
+    attached: a pair whose sizes differ by more than the threshold
+    ratio cannot reach it, so the returned pair set is byte-identical
+    to filtering the unpruned output by ``jaccard >= min_jaccard`` —
+    callers that apply such a filter anyway should pass it here so
+    below-bound pairs never pay the array join (sf1.0 simhash: 4.0M ->
+    3.0M pairs before attachment).
+
+    Collision note: shingles are fingerprinted to 8-byte xxhash64
+    before the set aggregation, so a pair's intersection can be off by
+    1 with probability ~|A||B|/2^64 — negligible against any practical
+    threshold.
 
     Callers should materialize ``pairs`` (persist/localCheckpoint)
     first: it anchors several joins here, and an unmaterialized LSH
@@ -633,41 +662,58 @@ def ngram_jaccard_pairs(
     slim = df.select(F.col(id_col), F.col(text_col)).join(
         F.broadcast(cand_ids.withColumnRenamed("id", id_col)), id_col, "left_semi"
     )
-    # fingerprint each shingle to a long BEFORE the distinct + joins:
-    # the dedup shuffle and the (id_b, sh) join then move/compare 8-byte
-    # keys instead of multi-word strings (~4x fewer shuffle bytes, long
-    # vs string comparisons in the hash join).  Collision cost: a pair's
-    # intersection can be off by 1 with probability ~|A||B|/2^64 —
-    # negligible against any practical threshold.
-    gram_rows = (
+    gram_sets = (
         _shingle_rows(slim, text_col, id_col, n)
         .select("id", F.xxhash64("sh").alias("sh"))
-        .distinct()
-    )  # (id, sh_fp64)
-    sizes = gram_rows.groupBy("id").agg(F.count("*").alias("sz"))
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("g"))
+        .select("id", "g", F.size("g").alias("sz"))
+    )
 
     pair_keys = pairs.select("id_a", "id_b")
-    inter = (
-        pair_keys.join(
-            gram_rows.select(F.col("id").alias("id_a"), "sh"), "id_a"
+    if min_jaccard is not None:
+        # exact pre-prune on set sizes only (a few bytes per doc, so
+        # the join is a broadcast at any realistic candidate count):
+        # J <= min/max, so min(sa,sb) < t*max(sa,sb) proves J < t.
+        sizes = gram_sets.select("id", "sz")
+        pair_keys = (
+            pair_keys.join(
+                F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))),
+                "id_a",
+            )
+            .join(
+                F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))),
+                "id_b",
+            )
+            .where(
+                F.least("sa", "sb").cast("double")
+                >= F.lit(float(min_jaccard)) * F.greatest("sa", "sb").cast("double")
+            )
+            .select("id_a", "id_b")
         )
-        .join(gram_rows.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    joined = pair_keys.join(
+        gram_sets.select(F.col("id").alias("id_a"), F.col("g").alias("ga"), F.col("sz").alias("sa")),
+        "id_a",
+    ).join(
+        gram_sets.select(F.col("id").alias("id_b"), F.col("g").alias("gb"), F.col("sz").alias("sb")),
+        "id_b",
     )
-    out = (
-        pair_keys.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
-                / (F.col("sa") + F.col("sb") - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
-            ).alias("jaccard"),
-        )
+    out = joined.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("ga", "gb")).alias("_i"),
+        "sa",
+        "sb",
+    ).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("_i").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("_i")).cast("double")
+        ).alias("jaccard"),
     )
+    if min_jaccard is not None:
+        out = out.where(F.col("jaccard") >= float(min_jaccard))
     return out
 
 
@@ -712,21 +758,24 @@ def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("a")
             .agg(F.min("nl").alias("min_nbr"))
         )
+        # carry the per-row improvement flag INSIDE the propagated frame:
+        # the convergence probe then reads the already-checkpointed rows
+        # (no shuffle, no second labels join) — each round costs one
+        # materialization job plus one narrow scan instead of two joins
         new = (
             labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
             .select(
                 "id",
+                # _moved FIRST: it must read the INPUT label, and listing
+                # it before the `... AS label` alias leaves no room for
+                # Spark 4 lateral-column-alias rebinding
+                (F.col("min_nbr") < F.col("label")).alias("_moved"),
                 F.least("label", F.coalesce("min_nbr", "label")).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "id")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("_moved")).limit(1).count()
+        labels = new.drop("_moved")
         if not changed:
             break
     else:
@@ -791,44 +840,82 @@ def embedding_cosine_dupes(
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold via banded hyperplane LSH.
 
-    Same architecture as minhash_lsh_dupes: signature -> per-band
-    bucket equi-join (only ids + two ints travel through the explode
-    and shuffle) -> exact-cosine verification joins the vectors back in
-    for candidate pairs only.  Never all-pairs: the join key is
-    (band, bucket), so the quadratic term is bounded by bucket size.
+    Same architecture as minhash_lsh_dupes: signature -> per-(band,
+    bucket) grouping -> exact-cosine verification within each bucket.
+    Never all-pairs: the quadratic term is bounded by bucket size.
     Replaces the round-1 fixed-16-bucket prefilter whose O(N²/16)
     within-bucket join was the one 100 TB scale-killer (VERDICT r1).
+
+    Verification runs per bucket as one vectorized numpy matmul over
+    the bucket's vectors (grouped-map Arrow stage, batch-vectorized —
+    never row-at-a-time Python), emitting only pairs at cosine >=
+    threshold; duplicates across bands collapse in a final
+    dropDuplicates over the (tiny) surviving pair set.  The r6 shape
+    instead materialized EVERY same-bucket id pair through a
+    dropDuplicates exchange and verified with an interpreted
+    zip_with/aggregate fold: accidental 8-bit-bucket collisions made
+    that 14.0M pairs at sf1.0 (20k vectors) — 18.5 s to enumerate +
+    dedup before verification even started.  Block-chunked matmuls
+    bound per-task memory for pathological buckets (a mass-identical
+    cluster), so the worst case degrades in time, not memory.
+
+    NaN/zero-norm guard: a NaN-poisoned vector yields NaN cosines and
+    a zero-norm vector yields inf/NaN (numpy 0-division); both are
+    dropped by the isfinite + threshold mask — same contract as the
+    Catalyst formulation (NULL / NaN cosines never reported).
     """
+    id_field = df.schema[id_col]
     sigs = hyperplane_signatures(df, id_col, vec_col, n_bands, band_bits, seed=seed)
     banded = sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-    )
     vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    pairs = (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "id_b")
+    data = banded.join(vecs, "id")
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType, True),
+            T.StructField("id_b", id_field.dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    # NaN >= threshold is TRUE under Spark's NaN-is-largest ordering, so
-    # a NaN-poisoned vector would report every candidate pair it touches
-    # as a near-dup; zero-norm vectors give null (dropped by `where`).
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
-        (F.col("cosine") >= threshold) & ~F.isnan("cosine")
+    thr = float(threshold)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        # block the row dimension so a pathological bucket costs time,
+        # not an n x n matrix in memory (~4M cells per block)
+        block = max(1, int(4_000_000 / n))
+        a_out, b_out, c_out = [], [], []
+        j_idx = np.arange(n)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, n - 1, block):
+                e = min(s + block, n)
+                cos = (mat[s:e] @ mat.T) / (nrm[s:e, None] * nrm[None, :])
+                mask = (j_idx > np.arange(s, e)[:, None]) & np.isfinite(cos) & (cos >= thr)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    a_out.append(ids[s + ii])
+                    b_out.append(ids[jj])
+                    c_out.append(cos[ii, jj])
+        if not a_out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out),
+                "id_b": np.concatenate(b_out),
+                "cosine": np.concatenate(c_out),
+            }
+        )
+
+    return (
+        data.groupBy("band", "bucket")
+        .applyInPandas(bucket_pairs, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -55,7 +55,10 @@ def bpe_token_count(text: Column | str) -> Column:
 def punct_ratio(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)
-    punct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    # regexp_count of the char class == length minus length-after-replace
+    # (each punct char is one non-overlapping match), without allocating
+    # the stripped copy of every document
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
     return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -67,10 +70,18 @@ def upper_ratio(text: Column | str) -> Column:
 
 
 def stopword_hits(text: Column | str, lang: str = "en") -> Column:
-    """Count of stopword occurrences (word-bounded, case-insensitive)."""
+    """Count of stopword occurrences (word-bounded, case-insensitive).
+
+    regexp_count, not size(regexp_extract_all): the count of
+    non-overlapping matches is identical (null text -> null either
+    way), but extract_all materializes every matched substring into an
+    array only to take its length — at sf1.0 the annotate projection
+    runs five of these alternation scans per document (quality + 4
+    language arms), so the allocation is on the hot path.
+    """
     c = F.col(text) if isinstance(text, str) else text
     pat = r"(?i)\b(" + "|".join(STOPWORDS[lang]) + r")\b"
-    return F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+    return F.regexp_count(c, F.lit(pat))
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:

@@ -151,6 +151,27 @@ def curate(
             )
             cur = _n("gopher_repetition", cur.join(rep_keep, id_col, "left_semi"))
 
+    # Materialize the annotated+filtered corpus ONCE before the
+    # multi-branch dedup stages.  Every stage below re-anchors on `cur`
+    # (the exact-dedup keeper subtree, the LSH signature scan, the
+    # verify gram scan, and the final keep-set joins), and without a
+    # materialization each branch re-executes the annotate projection —
+    # five regex scans per document — because the quality/lang FILTERS
+    # sit in every branch's lineage and cannot be pruned away.  Measured
+    # at sf1.0: the annotate pass alone is ~7.6 s and was recomputed by
+    # 4 of the 5 curation actions (guide §5: persist when a frame is
+    # reused and recomputation is expensive).  localCheckpoint (not
+    # persist) on purpose: it materializes to executor-local
+    # MEMORY_AND_DISK blocks immediately, truncates the lineage for the
+    # iterative closure below, and is NOT registered with the
+    # CacheManager — a later curate() call over the same input builds
+    # its own plan and recomputes from the source, so repeated runs stay
+    # honest end-to-end computations.  At 100 TB this is the
+    # intermediate materialization a multi-pass curation job performs
+    # anyway (disk-backed, spilled per executor, dropped with the app).
+    if near_dup:
+        cur = cur.localCheckpoint()
+
     # exact dedup: one keeper (min id) per identical text — the shuffle
     # carries (fp64, id), never the documents
     keepers = (
@@ -182,7 +203,9 @@ def curate(
             max_bucket_size=max_bucket_size,
         ).localCheckpoint()
         verified = (
-            ngram_jaccard_pairs(cur, cand, text_col, id_col)
+            ngram_jaccard_pairs(
+                cur, cand, text_col, id_col, min_jaccard=jaccard_threshold
+            )
             .where(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b")
         )

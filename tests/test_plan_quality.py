@@ -113,9 +113,15 @@ def test_pack_sequences_windows_by_composite_key(spark, raw):
     assert all("day" in ln for ln in spec_lines), spec_lines
 
 
-def test_verification_jaccard_is_codegen(spark, raw):
-    """ngram_jaccard_pairs: no interpreted array HOFs (ArrayIntersect /
-    ArrayUnion / aggregate lambdas) in the counting plan."""
+def test_verification_jaccard_attaches_sets_not_shingle_rows(spark, raw):
+    """ngram_jaccard_pairs (r7 shape): the pair joins attach ONE
+    aggregated gram set per doc side and intersect it inside the pair
+    row — the plan must NOT fan each pair out per shingle through a
+    (id, sh)-keyed join, which at sf1.0 pushed ~800M rows into an
+    exchange (the r6 shape; 26 s verify for the 4.0M-pair simhash
+    candidate set vs 7 s with set attachment).  Pinned invariants:
+    array_intersect present, and no join keyed on the shingle column.
+    """
     import pandas as pd
 
     from logtrics_spark.operators.dedup import ngram_jaccard_pairs
@@ -125,8 +131,47 @@ def test_verification_jaccard_is_codegen(spark, raw):
     )
     pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
     plan = _plan(ngram_jaccard_pairs(docs, pairs, n=3))
-    assert "array_intersect" not in plan.lower()
-    assert "array_union" not in plan.lower()
+    assert "array_intersect" in plan.lower(), plan
+    # no (id, sh)-keyed pair join: shingle rows only exist below the
+    # per-doc collect_set aggregation, never as a join key
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines, plan
+    assert all("sh#" not in ln for ln in join_lines), join_lines
+
+
+def test_verification_min_jaccard_prunes_by_size_ratio(spark, raw):
+    """min_jaccard= must (a) apply the exact size-ratio bound BEFORE the
+    gram-set joins and (b) return the identical pair set as post-hoc
+    filtering of the unpruned output — the bound is a proof
+    (J <= min/max), not a heuristic."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from logtrics_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g i",        # near-dup of 1
+        3: "a b",                     # far smaller: size bound kills pair (1,3)
+        4: "x y z w q r s t u v",     # disjoint, same size class as 1
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 1, 1], "id_b": [2, 3, 4]})
+    )
+    full = ngram_jaccard_pairs(docs, pairs, n=3).where(F.col("jaccard") >= 0.5)
+    pruned = ngram_jaccard_pairs(docs, pairs, n=3, min_jaccard=0.5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pruned.collect()))
+    plan = _plan(pruned)
+    # the size-ratio filter must appear (greatest/least over the sizes)
+    assert "least" in plan.lower() and "greatest" in plan.lower(), plan
 
 
 def test_topk_series_broadcasts_winners(spark, raw):
