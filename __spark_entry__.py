@@ -593,14 +593,22 @@ def q_similarity_ivf(spark, sf_dir):
             "query_id", "id", _q("cosine", 4).alias("cosine"), "rank",
         )
 
-    inflight = ivf_topk(embs, qs, k=5, n_centroids=8, nprobe=8)
+    # ONE centroid training serves all three parts: train_centroids is
+    # seeded+deterministic, so the centroids ivf_topk and
+    # build_ivf_index would each train internally are bit-identical to
+    # these — passing them in skips two redundant sample-collect+Lloyd
+    # passes without changing a single output value
+    from logtrics_spark.operators.similarity import train_centroids
+
+    cents = train_centroids(embs, 8)
+    inflight = ivf_topk(embs, qs, k=5, n_centroids=8, nprobe=8, centroids=cents)
     # sf-suffixed path: a plan sweep at sf0.001 and a correctness run
     # at sf0.01 in the same container must not clobber each other's
     # index between build and query
     import os as _os
 
     path = f"/tmp/spark_graft_ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    cents = build_ivf_index(embs, path, n_centroids=8)
+    build_ivf_index(embs, path, n_centroids=8, centroids=cents)
     store = query_ivf_index(spark, path, qs, k=5, nprobe=8)
     pq_path = f"/tmp/spark_graft_ivfpq_index_{_os.path.basename(sf_dir.rstrip('/'))}"
     # share the coarse centroids: one training pass serves both stores

@@ -62,15 +62,10 @@ def _uniform(ids: np.ndarray, stream: int, seed: int = SEED) -> np.ndarray:
     return (_hash_u64(ids, stream, seed) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def gen_batch(ids: np.ndarray, seed: int = SEED, token_cap: int | None = None) -> pd.DataFrame:
-    """Generate token-table rows for the given row ids (vectorized).
-
-    ``token_cap`` caps the materialized token-array length (the payload)
-    while keeping the full ``n_tok`` distribution (the metric value).
-    Correctness tests use the default (len(tokens) == n_tok); large
-    scaling benches cap the payload because the rollup pipeline prunes
-    ``tokens`` out of every scan anyway — payload bytes only cost
-    ingest setup time, not measured work.
+def _gen_columns(ids: np.ndarray, seed: int, token_cap: int | None):
+    """Shared numeric core: (doc_id, flat_tokens, token_offsets, n_tok,
+    sources) for the given row ids — every value a pure function of
+    (seed, id), identical regardless of which materialization wraps it.
     """
     ids = ids.astype(np.int64)
     # lognormal-ish n_tok in [1, MAX_TOK] via Box-Muller on two hashed uniforms
@@ -87,21 +82,58 @@ def gen_batch(ids: np.ndarray, seed: int = SEED, token_cap: int | None = None) -
     n_len = n_tok if token_cap is None else np.minimum(n_tok, np.int32(token_cap))
     total = int(n_len.sum())
     row_rep = np.repeat(ids, n_len)
-    offsets = np.concatenate(([0], np.cumsum(n_len)[:-1]))
-    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, n_len)
+    offsets = np.concatenate(([0], np.cumsum(n_len)))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n_len)
     with np.errstate(over="ignore"):
         mixed = row_rep.astype(np.uint64) * np.uint64(1_000_003) + pos.astype(np.uint64)
     flat = (_hash_u64(mixed, 4, seed) % np.uint64(VOCAB)).astype(np.int32)
-    bounds = np.cumsum(n_len)[:-1]
-    tokens = np.split(flat, bounds)
+    doc_id = np.char.mod("doc%012d", ids)
+    return doc_id, flat, offsets, n_tok, sources
 
+
+def gen_batch(ids: np.ndarray, seed: int = SEED, token_cap: int | None = None) -> pd.DataFrame:
+    """Generate token-table rows for the given row ids (vectorized).
+
+    ``token_cap`` caps the materialized token-array length (the payload)
+    while keeping the full ``n_tok`` distribution (the metric value).
+    Correctness tests use the default (len(tokens) == n_tok); large
+    scaling benches cap the payload because the rollup pipeline prunes
+    ``tokens`` out of every scan anyway — payload bytes only cost
+    ingest setup time, not measured work.
+    """
+    doc_id, flat, offsets, n_tok, sources = _gen_columns(ids, seed, token_cap)
+    tokens = np.split(flat, offsets[1:-1])
     return pd.DataFrame(
         {
-            "doc_id": np.char.mod("doc%012d", ids),
+            "doc_id": doc_id,
             "tokens": tokens,
             "n_tok": n_tok,
             "source": sources,
         }
+    )
+
+
+def gen_record_batch(ids: np.ndarray, seed: int = SEED, token_cap: int | None = None):
+    """Arrow-native twin of :func:`gen_batch`: same values, but the
+    token column is ONE ListArray built zero-copy from (values,
+    offsets) instead of a million per-row numpy objects that pandas ->
+    Arrow conversion must walk one by one.  Feeds gen_tokseq's
+    mapInArrow path; gen_batch stays as the pandas/pytest golden view.
+    """
+    import pyarrow as pa
+
+    doc_id, flat, offsets, n_tok, sources = _gen_columns(ids, seed, token_cap)
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_id, type=pa.string()),
+            tokens,
+            pa.array(n_tok, type=pa.int32()),
+            pa.array(sources, type=pa.string()),
+        ],
+        names=["doc_id", "tokens", "n_tok", "source"],
     )
 
 
@@ -112,20 +144,26 @@ def gen_tokseq(
     partitions: int | None = None,
     token_cap: int | None = None,
 ) -> DataFrame:
-    """Distributed token table: spark.range -> mapInPandas(gen_batch).
+    """Distributed token table: spark.range -> mapInArrow(gen_record_batch).
 
     No shuffle — each range partition generates its slice independently;
     determinism comes from the counter-based hash, not partition order.
+    mapInArrow (r7): the token lists leave the generator as one Arrow
+    ListArray per batch (values + offsets, zero-copy from the numpy
+    core) — the previous mapInPandas path re-walked a python object per
+    row to rebuild the same ListArray, which dominated ingest at 1M
+    rows.  Values are bit-identical (same counter-based hashes, same
+    row order; pinned by the pytest goldens against gen_batch).
     """
     if partitions is None:
         partitions = max(1, min(256, n_rows // 10_000 or 1))
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield gen_batch(pdf["id"].to_numpy(), seed, token_cap)
+    def gen(batches):
+        for b in batches:
+            if b.num_rows:
+                yield gen_record_batch(b.column(0).to_numpy(), seed, token_cap)
 
-    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, TOKSEQ_SCHEMA)
+    return spark.range(0, n_rows, numPartitions=partitions).mapInArrow(gen, TOKSEQ_SCHEMA)
 
 
 def gen_tokseq_pandas(n_rows: int, seed: int = SEED) -> pd.DataFrame:

@@ -9,22 +9,25 @@ the repo's LLM-pipeline family (SURVEY.md §2, dedup/text operators).
 
 Scale shape (the 100 TB story):
 - Gram extraction reuses ``dedup._shingle_rows`` — whole-stage-codegen
-  posexplode + window, one pass over each side, identical gram
-  semantics to the MinHash/Jaccard family (lowercased,
-  whitespace-split word n-grams; docs shorter than n yield ONE partial
-  gram, i.e. the whole doc, so a short training doc fully contained in
-  benchmark text still flags).
+  posexplode with the word array retained on the row (r7: no lead()
+  window, zero shuffle before the grams exist), one pass over each
+  side, identical gram semantics to the MinHash/Jaccard family
+  (lowercased, whitespace-split word n-grams; docs shorter than n
+  yield ONE partial gram, i.e. the whole doc, so a short training doc
+  fully contained in benchmark text still flags).
 - Grams travel as 8-byte xxhash64 fingerprints, never strings.
 - The benchmark side is distinct-deduped and (by default) BROADCAST:
   eval suites are tiny next to a training corpus, so the corpus-side
   gram stream joins map-side with zero shuffle.  Pass
   ``broadcast=False`` for an unusually large benchmark set and the
   join falls back to a shuffled hash join on the 8-byte key.
-- One corpus shuffle end-to-end: the text path's shingle window
-  partitions by doc id and both the distinct and the per-doc agg reuse
-  that partitioning; the token path dedups grams inside the array
-  (``array_distinct``, no exchange) so the per-doc agg's exchange is
-  the only one.
+- One corpus shuffle end-to-end when the input needed spreading (the
+  common bench/test case): ``_ensure_parallel`` partitions the text
+  side by doc id, and the distinct plus the per-doc agg both reuse
+  that id-clustering; a many-file corpus instead pays its one exchange
+  at the (id, gram_fp) distinct.  The token path dedups grams inside
+  the array (``array_distinct``, no exchange) so the per-doc agg's
+  exchange is the only one.
 
 Fingerprint caveat: matching is on 64-bit hashes, so two different
 grams colliding would over-flag (P ~ 2^-64 per pair — negligible at
@@ -58,10 +61,10 @@ def gram_fingerprints(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     )
     rows = _shingle_rows(df, text_col, id_col, n)
-    # the distinct reuses the id-partitioning _shingle_rows' window just
-    # established (id is a subset of the (id, gram_fp) clustering), so
-    # this adds no exchange — and the downstream per-doc agg reuses it
-    # again: one corpus shuffle total, as documented
+    # when _ensure_parallel spread the input by id, the distinct (and
+    # the downstream per-doc agg) reuse that id-clustering — id is a
+    # subset of the (id, gram_fp) grouping keys — so this adds no
+    # exchange; a many-file corpus pays its single exchange here
     return rows.select("id", F.xxhash64("sh").alias("gram_fp")).distinct()
 
 

@@ -193,29 +193,55 @@ def mg_rollup(
             "_s", _merge_rows_udf(k)("_it", "_cn", "_er", "_tn")
         ).select(*gcols, "_s.items", "_s.counts", "_s.err", "_s.total_n")
 
-    counts = (
+    # Direct mode runs the PODS'12 reduction in PURE Catalyst: the
+    # summary is a per-group sorted (-count, item) struct array, the
+    # (k+1)-th count is the clip delta, and the kept prefix is a
+    # filter+transform over the first k entries.  The r6 shape shipped
+    # every window's (items, counts) arrays through Arrow into a
+    # per-ROW pandas loop (one np.lexsort per summary) — at sf1.0 the
+    # 1m fine tier has 214k windows and that Python stage dominated the
+    # whole mg arm (~10 s); this formulation is value-identical
+    # (lexsort over unique (item) keys == sort_array over unique
+    # (-count, item) structs, same clip, same kept-prefix order) and
+    # never leaves the JVM.
+    summ = (
         pts.groupBy(*gcols, "_item")
         .agg(F.count("*").alias("_cnt"))
         .groupBy(*gcols)
         .agg(
-            F.collect_list("_item").alias("_items"),
-            F.collect_list("_cnt").alias("_cnts"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct((-F.col("_cnt")).alias("nc"), F.col("_item").alias("it"))
+                )
+            ).alias("_s"),
+            F.sum("_cnt").alias("total_n"),
         )
     )
-
-    @F.pandas_udf(_SUMMARY)
-    def summarize(it: pd.Series, cn: pd.Series) -> pd.DataFrame:
-        rows = []
-        for items, cnts in zip(it, cn):
-            i, c, delta = _reduce(
-                np.asarray(items, dtype=object), np.asarray(cnts, dtype=np.int64), k
-            )
-            rows.append((list(i), [int(x) for x in c], delta, int(np.sum(cnts))))
-        return pd.DataFrame(rows, columns=["items", "counts", "err", "total_n"])
-
-    return (
-        counts.withColumn("_s", summarize("_items", "_cnts"))
-        .select(*gcols, "_s.items", "_s.counts", "_s.err", "_s.total_n")
+    delta = (
+        F.when(F.size("_s") <= k, F.lit(0).cast("long"))
+        .otherwise(-F.element_at("_s", k + 1)["nc"])
+    )
+    staged = summ.select(
+        *gcols,
+        delta.alias("_d"),
+        F.slice("_s", 1, k).alias("_top"),
+        "total_n",
+    ).select(
+        *gcols,
+        F.filter(
+            "_top", lambda s: (F.lit(0).cast("long") - s["nc"] - F.col("_d")) > 0
+        ).alias("_kept"),
+        "_d",
+        "total_n",
+    )
+    return staged.select(
+        *gcols,
+        F.transform("_kept", lambda s: s["it"]).alias("items"),
+        F.transform(
+            "_kept", lambda s: (F.lit(0).cast("long") - s["nc"] - F.col("_d")).cast("long")
+        ).alias("counts"),
+        F.col("_d").cast("long").alias("err"),
+        "total_n",
     )
 
 

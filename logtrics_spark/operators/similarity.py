@@ -637,8 +637,17 @@ def build_ivfpq_index(
         {"cid": range(len(centroids)), "centroid": [c.tolist() for c in centroids]}
     )
     cents_df = spark.createDataFrame(cent_rows)
-    resid = assigned.join(F.broadcast(cents_df), "cid").withColumn(
-        "r", F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: a - b)
+    # persist the residual frame: it anchors THREE passes below (the
+    # codebook training sample, the encode+write, and the
+    # quantization-error baseline) and each would otherwise re-run the
+    # full assignment UDF + residual projection over the corpus.
+    # Unpersisted after the stats collect — every action of this build
+    # has run by then, so no cached frame outlives the call.
+    resid = (
+        assigned.join(F.broadcast(cents_df), "cid")
+        .withColumn("r", F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: a - b))
+        .select("cid", "id", "nv", "r")
+        .persist()
     )
     if codebooks is None:
         codebooks = train_pq_codebooks(
@@ -669,6 +678,7 @@ def build_ivfpq_index(
     _pq_stats_row(spark, float(row["m"] or 0.0), int(row["n"]), "mean_pq_err").write.mode(
         "overwrite"
     ).parquet(f"{path}/stats")
+    resid.unpersist()
     mm, kk, dsub = codebooks.shape
     book_rows = pd.DataFrame(
         {

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # tiny public stopword sets per language (heuristic language-id only)
 STOPWORDS = {
@@ -318,16 +317,25 @@ def gopher_keep(
 def _word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, gram) rows of lowercased whitespace-word n-grams, one row
     per OCCURRENCE.  Distributed: documents never ride the shuffle,
-    only (id, gram) pairs do."""
+    only (id, gram) pairs do.
+
+    r7 shape: posexplode with the word array retained on the row and
+    the gram sliced/joined in the same codegen stage — no lead()
+    window, so the per-doc exchange + sort the r6 shape paid before any
+    gram existed is gone (same change as dedup._shingle_rows, measured
+    ~35% faster there plus one exchange removed).  _ensure_parallel
+    still spreads a few-file corpus first: without the window's
+    exchange the explode would otherwise run in the scan's partitions.
+    """
+    from logtrics_spark.operators.dedup import _ensure_parallel
+
+    df = _ensure_parallel(df, id_col)
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.posexplode(words).alias("pos", "w0")
-    )
-    win = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("w0"), *[F.lead("w0", j).over(win) for j in range(1, n)]]
     return (
-        exploded.select("id", F.array(*parts).alias("ws"))
-        .where(F.element_at("ws", n).isNotNull())
+        df.select(F.col(id_col).alias("id"), words.alias("_ws"))
+        .select("id", "_ws", F.posexplode("_ws").alias("pos", "_w0"))
+        .where(F.col("pos") <= F.size("_ws") - n)
+        .select("id", F.slice("_ws", F.col("pos") + 1, n).alias("ws"))
         .select("id", F.array_join("ws", " ").alias("gram"))
     )
 
