@@ -44,17 +44,20 @@ def _split_oversized_buckets(banded: DataFrame, max_bucket_size: int, label: str
     collect is small by construction).
 
     Returns ``(small, big)`` where ``big`` is None when nothing exceeds
-    the cap.  Callers persist ``banded`` first (the size aggregation
-    materializes it and the join passes reuse it); when nothing exceeds
-    the cap it is unpersisted HERE before returning — the single
-    self-join recomputes it lazily (the pre-guard cost) and no cached
-    frame leaks from repeated guard-armed calls that never trip.
+    the cap.  Callers ``localCheckpoint`` ``banded`` first (r7): the
+    size scan AND both self-join sides then read the same materialized
+    rows, so the signature chain beneath the banding runs exactly once
+    per call.  The r6 contract persisted the frame, unpersisted on the
+    no-trip path, and let the self-join recompute it lazily — paying
+    the signature aggregation again and (per ADVICE r6) leaking the
+    cached frame whenever a collapse DID trigger, because no caller
+    ever held a handle to unpersist.  A checkpoint is not registered
+    with the CacheManager, so there is nothing to leak or to clean up.
     """
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     big_keys = sizes.where(F.col("n") > max_bucket_size)
     rows = big_keys.collect()
     if not rows:
-        banded.unpersist()
         return banded, None
     logger.warning(
         "%s: %d (band,bucket) groups exceed max_bucket_size=%d "
@@ -329,13 +332,15 @@ def minhash_lsh_dupes(
     which pass the cap); pair-level consumers that need every true
     near-dup pair (the driver's minhash_pairs recall oracle) must
     leave it None.  When the guard is armed the banded frame is
-    persisted for the size scan + join passes and unpersisted
-    immediately when nothing exceeds the cap (the common case); when a
-    collapse actually triggers, the cache stays LRU-evictable for the
-    two join branches.
+    localCheckpoint'ed once (r7): the size scan and both self-join
+    sides read the same materialized rows, so the signature chain runs
+    exactly once per call, nothing registers with the CacheManager,
+    and there is no cleanup handle to lose (the prior persist contract
+    recomputed the chain on the no-trip path and leaked the cache on
+    the trip path — ADVICE r6).
 
-    Caching contract: when est_jaccard is computed (or the bucket guard
-    is armed) internal frames are persisted and left LRU-evictable.
+    Caching contract: when est_jaccard is computed the signature frame
+    is persisted and left LRU-evictable.
     Callers who need explicit cache lifetimes pass
     ``sigs=minhash_signature(...).persist()`` (caller-managed, same
     pattern as similarity.assign_corpus; MUST be built with the same
@@ -390,7 +395,7 @@ def minhash_lsh_dupes(
 
     big = None
     if max_bucket_size is not None:
-        banded = banded.persist()
+        banded = banded.localCheckpoint()
         small, big = _split_oversized_buckets(
             banded, max_bucket_size, "minhash_lsh_dupes"
         )
@@ -563,7 +568,7 @@ def simhash_band_pairs(
     ).select("id", "simhash", "bb.band", "bb.bucket")
     big = None
     if max_bucket_size is not None:
-        banded = banded.persist()
+        banded = banded.localCheckpoint()
         small, big = _split_oversized_buckets(
             banded, max_bucket_size, "simhash_band_pairs"
         )

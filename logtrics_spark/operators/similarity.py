@@ -206,33 +206,50 @@ def build_ivf_index(
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col=vec_col)
     assign1 = _nearest_centroids_udf(centroids, 1)
-    (
-        # pin the stored element type to double: appended deltas may
-        # arrive as float32 or (after any arithmetic transform) float64,
-        # and parquet readers reject mixed element types across files
+    # pin the stored element type to double: appended deltas may
+    # arrive as float32 or (after any arithmetic transform) float64,
+    # and parquet readers reject mixed element types across files.
+    # Persisted: the same assignment feeds both the partitioned write
+    # and the baseline-stats aggregate below — without the cache the
+    # stats pass re-ran the full assignment UDF scan (r6 read the
+    # written lists back from disk instead, an extra corpus-sized read
+    # producing the identical numbers).  Unpersisted before returning.
+    assigned = (
         corpus.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
         .withColumn("cid", assign1(F.col("v"))[0])
         .withColumn("nv", _norm(F.col("v")))
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{path}/lists")
+        .persist()
     )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
     cent_rows = pd.DataFrame(
         {"cid": range(len(centroids)), "centroid": [c.tolist() for c in centroids]}
     )
     spark = corpus.sparkSession
-    spark.createDataFrame(cent_rows).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/centroids"
-    )
+    cents_df = spark.createDataFrame(cent_rows)
+    cents_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     # training-time assignment-quality baseline: mean squared distance
     # of indexed vectors to their assigned centroid.  ivf_drift compares
     # the index's CURRENT value against this to decide when appends have
-    # shifted the distribution enough to warrant retraining.
-    base = _index_mean_sq_dist(spark, path)
+    # shifted the distribution enough to warrant retraining.  Computed
+    # from the cached assignment — value-identical to re-reading the
+    # just-written lists (same rows, same centroids).
+    sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        assigned.join(F.broadcast(cents_df), "cid")
+        .agg(F.avg(sq).alias("m"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assigned.unpersist()
     spark.createDataFrame(
-        pd.DataFrame({"metric": ["mean_sq_dist"], "value": [base[0]], "n": [base[1]]})
+        pd.DataFrame(
+            {"metric": ["mean_sq_dist"], "value": [float(row["m"] or 0.0)], "n": [int(row["n"])]}
+        )
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return centroids
 

@@ -42,8 +42,10 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def whitespace_token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    # split on runs of whitespace; trim first so edges don't add empties
-    return F.size(F.split(F.trim(c), r"\s+"))
+    # tokens == whitespace runs + 1 on trimmed text (identical to
+    # size(split(trim, \s+)) including the ""->1 and null->null edges)
+    # without materializing the split array per document
+    return F.regexp_count(F.trim(c), F.lit(r"\s+")) + F.lit(1)
 
 
 def bpe_token_count(text: Column | str) -> Column:
@@ -160,9 +162,10 @@ def _c(text: Column | str) -> Column:
 def word_count(text: Column | str) -> Column:
     """Whitespace word count; 0 for empty/blank text."""
     c = _c(text)
-    return F.when(F.length(F.trim(c)) > 0, F.size(F.split(F.trim(c), r"\s+"))).otherwise(
-        F.lit(0)
-    )
+    # runs + 1, not size(split): same count, no per-doc array
+    return F.when(
+        F.length(F.trim(c)) > 0, F.regexp_count(F.trim(c), F.lit(r"\s+")) + F.lit(1)
+    ).otherwise(F.lit(0))
 
 
 def mean_word_length(text: Column | str) -> Column:
@@ -173,7 +176,9 @@ def mean_word_length(text: Column | str) -> Column:
     """
     c = _c(text)
     n = word_count(c)
-    chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    # non-whitespace chars == length minus whitespace-char count (each
+    # \s char is one match) — no stripped copy of the document
+    chars = F.length(c) - F.regexp_count(c, F.lit(r"\s"))
     return F.when(n > 0, chars.cast("double") / n.cast("double"))
 
 
