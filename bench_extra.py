@@ -51,9 +51,9 @@ def probe_simhash(spark, sf_dir, log):
     cand = simhash_band_pairs(sims, band_bits=8).where("hamming <= 7").localCheckpoint()
     spark.sparkContext.setJobDescription("simhash: verify")
     dt, n = _count(
-        ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5).where(
-            F.col("jaccard") >= 0.6
-        )
+        ngram_jaccard_pairs(
+            docs, cand.select("id_a", "id_b"), n=5, min_jaccard=0.6
+        ).where(F.col("jaccard") >= 0.6)
     )
     log("simhash", "verify", dt, n)
 
@@ -76,9 +76,9 @@ def probe_minhash(spark, sf_dir, log):
     ).localCheckpoint()
     spark.sparkContext.setJobDescription("minhash: verify")
     dt, n = _count(
-        ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5).where(
-            F.col("jaccard") >= 0.6
-        )
+        ngram_jaccard_pairs(
+            docs, cand.select("id_a", "id_b"), n=5, min_jaccard=0.6
+        ).where(F.col("jaccard") >= 0.6)
     )
     log("minhash", "verify", dt, n)
 
@@ -105,21 +105,11 @@ def probe_embdupes(spark, sf_dir, log):
     spark.sparkContext.setJobDescription("embdupes: signatures")
     sigs = hyperplane_signatures(df, "vec_id", "embedding", 16, 8)
     log("embdupes", "signatures", _noop(sigs))
-    banded = sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    spark.sparkContext.setJobDescription("embdupes: candidates")
-    dt, n = _count(cand)
-    log("embdupes", "cand+dedup", dt, n)
+    # NOTE: the r6 shape materialized + deduplicated every same-bucket
+    # id pair here (13.95M rows / 18.5 s at sf1.0) before any cosine was
+    # compared; the r7 operator verifies per (band, bucket) with one
+    # chunked numpy matmul per group, so there is no candidate-pair
+    # stage left to probe separately.
     from logtrics_spark.operators.dedup import embedding_cosine_dupes
 
     spark.sparkContext.setJobDescription("embdupes: full")
@@ -162,7 +152,7 @@ def probe_curation(spark, sf_dir, log):
     spark.sparkContext.setJobDescription("curation: verify")
     t0 = time.perf_counter()
     verified = (
-        ngram_jaccard_pairs(cur2, cand, "text", "doc_id")
+        ngram_jaccard_pairs(cur2, cand, "text", "doc_id", min_jaccard=0.6)
         .where(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b")
         .localCheckpoint()
@@ -193,7 +183,7 @@ def probe_groups(spark, sf_dir, log):
         docs, num_hashes=64, bands=32, include_est=False, max_bucket_size=4096
     ).localCheckpoint()
     ver = (
-        ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5)
+        ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), n=5, min_jaccard=0.6)
         .where(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b")
         .localCheckpoint()

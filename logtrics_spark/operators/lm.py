@@ -75,13 +75,22 @@ def train_ngram_lm(
             F.when(F.col("_in").isNotNull(), F.col("w")).otherwise(F.lit(UNK)).alias("w"),
         )
     )
-    uni = mapped.groupBy("w").agg(F.count("*").alias("c"))
+    # Both model frames persist (ADVICE r6): the metadata actions just
+    # below hit `uni` three times (v, <unk> probe, n), and every
+    # downstream perplexity() join re-anchors on both frames — without
+    # the cache each action re-ran the full words+vocab training chain
+    # over the trusted corpus.  Lifetime: the frames ARE the model;
+    # they stay persisted for the model's life (LRU-evictable,
+    # MEMORY_AND_DISK) and a caller done with the model may
+    # model["uni"].unpersist() / model["bi"].unpersist().
+    uni = mapped.groupBy("w").agg(F.count("*").alias("c")).persist()
     nxt = Window.partitionBy("id").orderBy("pos")
     bi = (
         mapped.select("id", "pos", F.col("w").alias("w1"), F.lead("w").over(nxt).alias("w2"))
         .where(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
     v = uni.count()  # vocab actually reached, incl. <unk> when present
     if uni.where(F.col("w") == UNK).count() == 0:

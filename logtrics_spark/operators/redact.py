@@ -13,11 +13,10 @@ Pattern notes (pinned so the DuckDB oracle replicates exactly):
 - patterns use no lookarounds (Java regex AND RE2 compatible),
 - masking applies in the CATEGORIES dict order — card before phone,
   so a 16-digit card never half-matches as a phone number,
-- counts are measured BEFORE any masking (a card is counted as a
-  card, and the phone count sees the original text, not the masked
-  one — the count of a later category is whatever its regex finds in
-  the text with earlier categories already masked, which is also how
-  the masked text itself behaves).
+- counts follow the SEQUENTIAL masking order: each category's count
+  is whatever its regex finds with the earlier categories already
+  masked (a card is counted as a card and can then never half-match
+  as a phone number) — exactly how the masked text itself behaves.
 """
 
 from __future__ import annotations

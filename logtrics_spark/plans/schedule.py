@@ -240,7 +240,12 @@ class Scheduler:
             except Exception as exc:  # noqa: BLE001 — job isolation
                 logger.exception("scheduled job %s failed", name)
                 fired[name] = exc
-        self.last_checked = _to_utc(now).replace(second=0, microsecond=0)
+        # monotonic watermark: a backwards clock step (NTP correction,
+        # resumed VM) must not rewind last_checked, or a minute that
+        # already fired would fire again once the clock re-crosses it
+        now_m = _to_utc(now).replace(second=0, microsecond=0)
+        prev = self.last_checked
+        self.last_checked = now_m if prev is None else max(prev, now_m)
         return fired
 
 

@@ -113,6 +113,41 @@ def test_pack_sequences_windows_by_composite_key(spark, raw):
     assert all("day" in ln for ln in spec_lines), spec_lines
 
 
+def test_paragraph_dedup_winner_selection_is_fingerprint_keyed(spark, raw):
+    """dedup_paragraphs (r7, VERDICT r6 top item): the first-occurrence
+    winner groupBy and the winner join back onto occurrence rows must
+    be keyed on the 8-byte xxhash64 fingerprint, not the raw paragraph
+    string — the only string-keyed aggregation allowed in the plan is
+    the (empty-in-practice) collision fallback, and the only stage that
+    must carry paragraph text through a shuffle is the document
+    rebuild."""
+    import pandas as pd
+
+    from logtrics_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["shared para\n\nalpha", "shared para\n\nbeta"]}
+        )
+    )
+    plan = _plan(dedup_paragraphs(docs))
+    assert "xxhash64" in plan, plan
+    # the winner aggregation groups on fp (plus the string-keyed
+    # collision fallback); the r6 shape had NO fp-keyed aggregate
+    agg_keys = [
+        ln for ln in plan.splitlines() if "HashAggregate(keys=[fp#" in ln
+        or "SortAggregate(key=[fp#" in ln
+    ]
+    assert agg_keys, plan
+    # and the winner join is fp-keyed: at least one join on fp columns
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "HashJoin [" in ln or "SortMergeJoin [" in ln or "HashJoin(" in ln
+    ]
+    assert any("[fp#" in ln for ln in join_lines), join_lines
+
+
 def test_verification_jaccard_attaches_sets_not_shingle_rows(spark, raw):
     """ngram_jaccard_pairs (r7 shape): the pair joins attach ONE
     aggregated gram set per doc side and intersect it inside the pair
