@@ -26,7 +26,10 @@ PY_ALLOWED = {
     "meter_ewma_1h": {"FlatMapGroupsInPandas"},  # EWMA recurrence fold
     "similarity_ivf": {"ArrowEvalPython"},  # centroid-assign pandas_udf
     "similarity_ivf_append": {"ArrowEvalPython"},  # delta assignment + probe
-    "embedding_dupes": {"ArrowEvalPython"},  # hyperplane-signature matmul
+    # hyperplane-signature matmul + r7 per-bucket cosine verify (one
+    # chunked numpy matmul per (band, bucket) group — batch-vectorized
+    # grouped-map, replaces the 14M-pair enumerate+dedup+interpreted-dot)
+    "embedding_dupes": {"ArrowEvalPython", "FlatMapGroupsInPandas"},
     "gorilla_roundtrip": {"FlatMapGroupsInPandas", "MapInPandas"},  # codec
     "multimodal_features": {"MapInPandas"},  # decode seam
     "holtwinters_1h": {"FlatMapGroupsInPandas"},  # seasonal fold
