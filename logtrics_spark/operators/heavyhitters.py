@@ -246,8 +246,23 @@ def mg_rollup(
 
 
 def mg_cascade(fine: DataFrame, fine_tier: str, coarse_tier: str, k: int = 256) -> DataFrame:
-    """Merge fine windows' summaries into the coarse window — one JVM
-    collect_list shuffle over tier rows, one Arrow merge pass."""
+    """Merge fine windows' summaries into the coarse window — pure
+    Catalyst (r7): explode each summary's (item, count) pairs, bag-sum
+    per (group, item) with map-side partial aggregation, then run the
+    SAME PODS'12 reduction `mg_rollup` direct mode uses (sorted
+    (-count, item) struct array, (k+1)-th count as the clip delta,
+    kept prefix where count - delta > 0).
+
+    Value-identical to the former Arrow `mg_merge` pass: the bag is a
+    per-item sum either way, `np.lexsort((items, -counts))` over unique
+    items orders exactly like `sort_array` over unique (-count, item)
+    structs, the clip delta and kept prefix are the same arithmetic,
+    and the merged err = sum(input errs) + delta.  Each fine row's
+    scalar err/total_n is contributed ONCE via its pos==0 explode row
+    (posexplode_outer keeps empty summaries as a null-pos row, so their
+    err/total_n still count).  The r6 shape shipped every group's
+    summaries through Arrow into a per-row Python dict merge — the one
+    remaining Python stage in the mg tier ladder."""
     if tier_seconds(coarse_tier) % tier_seconds(fine_tier) != 0:
         raise ValueError(f"{coarse_tier} is not a multiple of {fine_tier}")
     key = [
@@ -256,17 +271,71 @@ def mg_cascade(fine: DataFrame, fine_tier: str, coarse_tier: str, k: int = 256) 
         if c not in ("window_start", "items", "counts", "err", "total_n")
     ]
     gcols = [*key, "window_start"]
-    return (
+    first = F.col("_pos").isNull() | (F.col("_pos") == 0)
+    ex = (
         fine.withColumn("window_start", window_start(F.col("window_start"), coarse_tier))
+        .select(
+            *gcols,
+            "err",
+            "total_n",
+            F.posexplode_outer(F.arrays_zip("items", "counts")).alias("_pos", "_p"),
+        )
+        .select(
+            *gcols,
+            F.col("_p.items").alias("_item"),
+            F.col("_p.counts").alias("_cnt"),
+            F.when(first, F.col("err")).otherwise(F.lit(0)).cast("long").alias("_er"),
+            F.when(first, F.col("total_n")).otherwise(F.lit(0)).cast("long").alias("_tn"),
+        )
+    )
+    summ = (
+        ex.groupBy(*gcols, "_item")
+        .agg(
+            F.sum("_cnt").alias("_cnt"),
+            F.sum("_er").alias("_er"),
+            F.sum("_tn").alias("_tn"),
+        )
         .groupBy(*gcols)
         .agg(
-            F.collect_list("items").alias("_it"),
-            F.collect_list("counts").alias("_cn"),
-            F.collect_list("err").alias("_er"),
-            F.collect_list("total_n").alias("_tn"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_item").isNotNull(),
+                        F.struct((-F.col("_cnt")).alias("nc"), F.col("_item").alias("it")),
+                    )
+                )
+            ).alias("_s"),
+            F.sum("_er").alias("_be"),
+            F.sum("_tn").alias("total_n"),
         )
-        .withColumn("_s", _merge_rows_udf(k)("_it", "_cn", "_er", "_tn"))
-        .select(*gcols, "_s.items", "_s.counts", "_s.err", "_s.total_n")
+    )
+    delta = (
+        F.when(F.size("_s") <= k, F.lit(0).cast("long"))
+        .otherwise(-F.element_at("_s", k + 1)["nc"])
+    )
+    staged = summ.select(
+        *gcols,
+        delta.alias("_d"),
+        F.slice("_s", 1, k).alias("_top"),
+        "_be",
+        "total_n",
+    ).select(
+        *gcols,
+        F.filter(
+            "_top", lambda s: (F.lit(0).cast("long") - s["nc"] - F.col("_d")) > 0
+        ).alias("_kept"),
+        "_d",
+        "_be",
+        "total_n",
+    )
+    return staged.select(
+        *gcols,
+        F.transform("_kept", lambda s: s["it"]).alias("items"),
+        F.transform(
+            "_kept", lambda s: (F.lit(0).cast("long") - s["nc"] - F.col("_d")).cast("long")
+        ).alias("counts"),
+        (F.col("_be") + F.col("_d")).cast("long").alias("err"),
+        "total_n",
     )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from logtrics_spark.operators.heavyhitters import (
     _reduce,
@@ -118,6 +119,53 @@ def test_mg_exact_when_cardinality_fits(spark):
 def test_mg_cascade_validation(spark):
     with pytest.raises(ValueError):
         mg_cascade(None, "1h", "1m")
+
+
+def test_mg_cascade_matches_mg_merge_reference(spark):
+    """The r7 pure-Catalyst cascade must be VALUE-IDENTICAL — items,
+    item order, clipped counts, accumulated err, total_n — to the
+    Python `mg_merge` reference (still the presketch-mode merge), on a
+    workload where fine summaries are clipped (err > 0) and one fine
+    window is emptied to exercise the posexplode_outer null-pos path
+    for err/total_n accumulation."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for m in range(120):
+        for _ in range(40):
+            rows.append(("s", "m", "counter", BASE + pd.Timedelta(minutes=m), int(rng.zipf(1.3) % 500)))
+    pdf = pd.DataFrame(rows, columns=["source", "metric", "kind", "ts", "user"])
+    df = spark.createDataFrame(pdf).repartition(5)
+    k = 6  # far below per-minute cardinality: every summary clips
+    fine = mg_rollup(df, "1m", "user", k=k)
+    # empty one window's summary (keep its err/total_n): the merge must
+    # still count its mass even though it explodes to a null-item row
+    fine = fine.withColumn(
+        "_blank", F.minute("window_start") == 3
+    ).select(
+        "source", "metric", "kind", "window_start",
+        F.when(F.col("_blank"), F.array().cast("array<string>")).otherwise(F.col("items")).alias("items"),
+        F.when(F.col("_blank"), F.array().cast("array<long>")).otherwise(F.col("counts")).alias("counts"),
+        F.when(F.col("_blank"), (F.col("err") + F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x))).otherwise(F.col("err")).alias("err"),
+        "total_n",
+    )
+    got = {
+        tuple(r[c] for c in ("source", "metric", "kind", "window_start")): r
+        for r in mg_cascade(fine, "1m", "1h", k=k).collect()
+    }
+    # reference: group fine rows per coarse hour and fold with mg_merge
+    fine_rows = fine.collect()
+    by_hour: dict = {}
+    for r in fine_rows:
+        key = (r["source"], r["metric"], r["kind"], r["window_start"].replace(minute=0, second=0))
+        by_hour.setdefault(key, []).append((r["items"], r["counts"], r["err"], r["total_n"]))
+    assert set(got) == set(by_hour)
+    for key, summaries in by_hour.items():
+        items, counts, err, total = mg_merge(summaries, k)
+        g = got[key]
+        assert list(g["items"]) == list(items)
+        assert list(g["counts"]) == list(counts)
+        assert g["err"] == err
+        assert g["total_n"] == total
 
 
 def test_mg_presketch_high_cardinality_bounds(spark):
