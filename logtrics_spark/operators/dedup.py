@@ -720,6 +720,17 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.collect_set("sh").alias("g"))
         .select("id", "g", F.size("g").alias("sz"))
+        # materialize ONCE (r7): this frame anchors up to four joins
+        # below (two size-prune broadcasts + two set attachments), and
+        # each reference otherwise re-executes the whole shingle ->
+        # collect_set pipeline — the initial plan carries four copies
+        # of the subtree, and exchange reuse only collapses the
+        # byte-identical ones at runtime.  One row per candidate doc
+        # (id + ~|grams| longs + size), so the checkpoint is bounded by
+        # the candidate set the LSH banding already bounded; not
+        # persist — nothing registers with the CacheManager, so
+        # repeated calls recompute from source (no cross-run reuse).
+        .localCheckpoint()
     )
 
     pair_keys = pairs.select("id_a", "id_b")
