@@ -598,7 +598,7 @@ def q_similarity_ivf(spark, sf_dir):
     # build_ivf_index would each train internally are bit-identical to
     # these — passing them in skips two redundant sample-collect+Lloyd
     # passes without changing a single output value
-    from logtrics_spark.operators.similarity import train_centroids
+    from logtrics_spark.operators.similarity import assign_corpus, train_centroids
 
     cents = train_centroids(embs, 8)
     inflight = ivf_topk(embs, qs, k=5, n_centroids=8, nprobe=8, centroids=cents)
@@ -608,13 +608,26 @@ def q_similarity_ivf(spark, sf_dir):
     import os as _os
 
     path = f"/tmp/spark_graft_ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}"
-    build_ivf_index(embs, path, n_centroids=8, centroids=cents)
+    # ONE corpus-assignment scan serves both index builds (r7): the
+    # builders' internal assignment chains are identical over
+    # double-cast vectors, so passing a shared persisted frame skips a
+    # redundant full-corpus UDF pass without changing a value.  The
+    # inflight part keeps its own (float-typed) assignment — its
+    # cosines are pinned by the oracle at the source precision.
+    shared = assign_corpus(
+        embs.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        cents,
+    ).persist()
+    build_ivf_index(embs, path, n_centroids=8, centroids=cents, assigned=shared)
     store = query_ivf_index(spark, path, qs, k=5, nprobe=8)
     pq_path = f"/tmp/spark_graft_ivfpq_index_{_os.path.basename(sf_dir.rstrip('/'))}"
     # share the coarse centroids: one training pass serves both stores
     # (exactly what a production deployment does — the PQ layer rides
     # the SAME inverted lists)
-    build_ivfpq_index(embs, pq_path, n_centroids=8, m=4, ks=64, centroids=cents)
+    build_ivfpq_index(
+        embs, pq_path, n_centroids=8, m=4, ks=64, centroids=cents, assigned=shared
+    )
+    shared.unpersist()
     # refine_factor x k must cover the corpus for the exact-oracle
     # degeneracy; the PQ stage only generates candidates here
     n_corpus = embs.count()

@@ -191,6 +191,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
 ) -> np.ndarray:
     """Materialize an IVF index: corpus parquet partitioned by centroid id.
 
@@ -205,23 +206,34 @@ def build_ivf_index(
     """
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col=vec_col)
-    assign1 = _nearest_centroids_udf(centroids, 1)
-    # pin the stored element type to double: appended deltas may
-    # arrive as float32 or (after any arithmetic transform) float64,
-    # and parquet readers reject mixed element types across files.
-    # Persisted: the same assignment feeds both the partitioned write
-    # and the baseline-stats aggregate below — without the cache the
-    # stats pass re-ran the full assignment UDF scan (r6 read the
-    # written lists back from disk instead, an extra corpus-sized read
-    # producing the identical numbers).  Unpersisted before returning.
-    assigned = (
-        corpus.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    # ``assigned=`` (r7): callers building BOTH an IVF and an IVF-PQ
+    # store over the same corpus+centroids pass one shared
+    # ``assign_corpus(corpus_with_double_vecs, centroids).persist()``
+    # so the full-corpus assignment UDF scan runs once, not once per
+    # builder (value-identical — same UDF, same centroids; the frame
+    # must be (id, v:array<double>, cid, nv) exactly as assign_corpus
+    # yields over double-cast vectors).  Caller-managed lifetime: this
+    # function unpersists only the frame it created itself.
+    own_assigned = assigned is None
+    if own_assigned:
+        assign1 = _nearest_centroids_udf(centroids, 1)
+        # pin the stored element type to double: appended deltas may
+        # arrive as float32 or (after any arithmetic transform) float64,
+        # and parquet readers reject mixed element types across files.
+        # Persisted: the same assignment feeds both the partitioned
+        # write and the baseline-stats aggregate below — without the
+        # cache the stats pass re-ran the full assignment UDF scan (r6
+        # read the written lists back from disk instead, an extra
+        # corpus-sized read producing the identical numbers).
+        # Unpersisted before returning.
+        assigned = (
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+            )
+            .withColumn("cid", assign1(F.col("v"))[0])
+            .withColumn("nv", _norm(F.col("v")))
+            .persist()
         )
-        .withColumn("cid", assign1(F.col("v"))[0])
-        .withColumn("nv", _norm(F.col("v")))
-        .persist()
-    )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
     cent_rows = pd.DataFrame(
         {"cid": range(len(centroids)), "centroid": [c.tolist() for c in centroids]}
@@ -245,7 +257,8 @@ def build_ivf_index(
         .agg(F.avg(sq).alias("m"), F.count("*").alias("n"))
         .collect()[0]
     )
-    assigned.unpersist()
+    if own_assigned:
+        assigned.unpersist()
     spark.createDataFrame(
         pd.DataFrame(
             {"metric": ["mean_sq_dist"], "value": [float(row["m"] or 0.0)], "n": [int(row["n"])]}
@@ -541,6 +554,7 @@ def train_pq_codebooks(
     sample_rows: int = 50_000,
     iters: int = 10,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Per-subspace Lloyd's k-means on a bounded driver sample.
 
@@ -555,8 +569,13 @@ def train_pq_codebooks(
     a subspace has <= ks DISTINCT subvectors in the sample and the
     sample covers the corpus, each distinct subvector becomes its own
     codeword, so quantization error is exactly zero.
+
+    ``n_rows=`` (r7): the residual row count, when the caller already
+    knows it (build_ivfpq_index counts the corpus once for its stats
+    sample and |resid| == |corpus|) — skips this function's own count
+    job; the sampling fraction and everything downstream are identical.
     """
-    cnt = residuals.select(vec_col).count()
+    cnt = n_rows if n_rows is not None else residuals.select(vec_col).count()
     frac = min(1.0, (2.0 * sample_rows) / max(cnt, 1))
     sampled = residuals.select(vec_col)
     if frac < 1.0:
@@ -631,6 +650,7 @@ def build_ivfpq_index(
     sample_rows: int = 50_000,
     iters: int = 10,
     seed: int = 42,
+    assigned: DataFrame | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Materialize an IVF-PQ index: ``cid=``-partitioned lists holding
     (id, nv, code) — M smallints per vector instead of dim floats —
@@ -640,16 +660,24 @@ def build_ivfpq_index(
     prune partitions the same way); the lists just store PQ codes of
     the RESIDUAL (v - centroid) and the exact norm |v|.  Returns
     (centroids, codebooks).
+
+    ``assigned=`` (r7): same contract as :func:`build_ivf_index` — a
+    caller-persisted ``assign_corpus`` frame over double-cast vectors
+    shares ONE corpus assignment scan between the plain-IVF and PQ
+    builds (a production deployment builds both stores over the same
+    inverted lists; without this each build re-ran the full corpus
+    assignment UDF).
     """
     spark = corpus.sparkSession
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col=vec_col, seed=seed)
-    assigned = assign_corpus(
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)),
-        centroids,
-        id_col,
-        vec_col,
-    )
+    if assigned is None:
+        assigned = assign_corpus(
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)),
+            centroids,
+            id_col,
+            vec_col,
+        )
     cent_rows = pd.DataFrame(
         {"cid": range(len(centroids)), "centroid": [c.tolist() for c in centroids]}
     )
@@ -666,9 +694,15 @@ def build_ivfpq_index(
         .select("cid", "id", "nv", "r")
         .persist()
     )
+    # ONE count serves both bounded samples below (codebook training
+    # and the error baseline): |resid| == |corpus| by construction, and
+    # the parquet-metadata count is far cheaper than counting the
+    # persisted residual frame.
+    cnt = corpus.count()
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            resid, m=m, ks=ks, vec_col="r", sample_rows=sample_rows, iters=iters, seed=seed
+            resid, m=m, ks=ks, vec_col="r", sample_rows=sample_rows, iters=iters,
+            seed=seed, n_rows=cnt,
         )
     encode = _pq_encode_udf(codebooks)
     (
@@ -685,7 +719,6 @@ def build_ivfpq_index(
     # the sample estimator's error is tiny next to the >=1.5x retrain
     # threshold.  Small corpora (<= sample size) still measure exactly.
     err = _pq_error_udf(codebooks)
-    cnt = corpus.count()
     bfrac = min(1.0, (2.0 * sample_rows) / max(cnt, 1))
     bresid = resid if bfrac >= 1.0 else resid.sample(fraction=bfrac, seed=seed)
     row = bresid.agg(
