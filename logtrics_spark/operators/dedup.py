@@ -259,20 +259,32 @@ def _ensure_parallel(df: DataFrame, id_col: str) -> DataFrame:
     the input already spans enough files (the at-scale case — never
     force a full shuffle of a wide corpus).
 
-    The heuristic reads ``inputFiles()`` (catalog metadata, no plan
-    materialization — ``df.rdd.getNumPartitions()`` would force an
-    RDD conversion of the whole analyzed plan on every signature call).
-    Non-file-backed inputs report zero files and get spread, which is
-    right: they're locally-synthesized test frames.
+    The heuristic reads ``inputFiles()`` first (catalog metadata, no
+    plan materialization).  When that reports zero files the input is
+    not file-backed — a checkpointed corpus mid-pipeline, or a
+    locally-synthesized test frame — and only THEN is
+    ``df.rdd.getNumPartitions()`` consulted (r7): for the checkpointed
+    case the plan is a bare scan of materialized blocks, so the RDD
+    conversion is trivial, and the answer distinguishes an
+    already-spread corpus (curate() localCheckpoints the annotated
+    corpus across the full shuffle width — re-repartitioning it here
+    shuffled every document body again, once per signature/gram scan)
+    from a genuinely-narrow local frame that still needs the spread.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
-        return df.repartition(target, F.col(id_col))
-    return df
+    if n_files >= target:
+        return df
+    if n_files == 0:
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
+    return df.repartition(target, F.col(id_col))
 
 
 # ------------------------------------------------------------ minhash

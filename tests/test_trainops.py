@@ -830,3 +830,24 @@ def test_curation_all_stages_compose(spark, docs):
     assert stats["sample"] == kept.count()
     # no raw PII survives into the kept output
     assert kept.where(F.col("text").contains("@")).count() == 0
+
+
+def test_ensure_parallel_skips_already_spread_checkpointed_frames(spark, docs):
+    """_ensure_parallel must not re-shuffle a corpus that already spans
+    the target parallelism: a checkpointed mid-pipeline frame (zero
+    inputFiles) with >= defaultParallelism partitions passes through
+    untouched — curate() localCheckpoints the annotated corpus across
+    the full shuffle width, and the r6 heuristic re-repartitioned every
+    document body once per signature/gram scan on top of that.  A
+    genuinely narrow local frame still gets spread."""
+    from logtrics_spark.operators.dedup import _ensure_parallel
+
+    target = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(target, F.col("doc_id")).localCheckpoint()
+    assert wide.inputFiles() == []
+    assert _ensure_parallel(wide, "doc_id") is wide
+
+    narrow = docs.coalesce(1).localCheckpoint()
+    spread = _ensure_parallel(narrow, "doc_id")
+    assert spread is not narrow
+    assert spread.rdd.getNumPartitions() >= target
