@@ -88,8 +88,14 @@ def stopword_hits(text: Column | str, lang: str = "en") -> Column:
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     c = F.col(text) if isinstance(text, str) else text
     toks = whitespace_token_count(c)
+    # guard on isNotNull, not toks > 0 (r7): toks >= 1 whenever the text
+    # is non-null (regexp_count + 1), and for null text the old null
+    # condition fell through to 0.0 exactly like this branch — identical
+    # values, but `toks > 0` re-evaluated the trim + whitespace scan a
+    # second time inside the same expression (guide §2.3 narrower
+    # per-row work; measured in the r7 annotate decomposition)
     return F.when(
-        toks > 0, stopword_hits(c, lang).cast("double") / toks.cast("double")
+        c.isNotNull(), stopword_hits(c, lang).cast("double") / toks.cast("double")
     ).otherwise(F.lit(0.0))
 
 
@@ -112,9 +118,23 @@ def language_id(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     langs = list(STOPWORDS)
     pairs = [F.struct(stopword_hits(c, lg).alias("hits"), F.lit(lg).alias("lang")) for lg in langs]
-    # greatest of structs compares hits first, then lang (stable tiebreak)
-    best = F.greatest(*pairs)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    # greatest of structs compares hits first, then lang (stable tiebreak).
+    # The zero-hit fallback rides as a sentinel (0, 'und') arm INSIDE the
+    # greatest (r7): the former `when(best.hits > 0, best.lang)` shape
+    # referenced `best` twice, and Catalyst duplicates the whole
+    # greatest(...) tree per reference — every language's alternation
+    # regex scanned each document TWICE (measured: language_id alone
+    # 0.42 s -> 0.26 s at sf0.1).  Value-identical: any real hit beats
+    # the sentinel on hits; at all-zero hits the sentinel wins the lang
+    # tiebreak because every stopword key sorts before 'und' (asserted —
+    # adding a key above 'und' must revisit this), and null text yields
+    # structs with null hits, which sort below the sentinel's 0 (nulls
+    # first in struct ordering), i.e. the same 'und' the old
+    # null-condition fallthrough produced (pinned by the edge probe and
+    # the lang_id/quality_score oracles).
+    assert all(lg < "und" for lg in langs), "language key sorts above the 'und' sentinel"
+    pairs.append(F.struct(F.lit(0).alias("hits"), F.lit("und").alias("lang")))
+    return F.greatest(*pairs)["lang"]
 
 
 def fingerprint64(text: Column | str) -> Column:
